@@ -1,0 +1,199 @@
+"""Host-side preprocessing pipeline -> fixed-shape device batches.
+
+Counterpart of the reference's mmdet pipeline
+(ref: configs/mask2former/pairnet.py:234-331): keep-ratio resize (multi-scale
+short side in train, (1333, 800) in test), random horizontal flip, ImageNet
+normalization, padding — but re-designed for XLA: every output has a static
+shape. Images land in a single padded canvas (bucketing handled by choosing
+``target_size``); GT instances pad to ``max_inst``; relations pad to
+``max_rels``; masks are stored at ``mask_stride`` (the reference downsamples
+GT masks 2x in PSGTr.forward_train, ref: frameworks/psgtr.py:124-141 — here
+the stride is a config knob and defaults to 4 to match the prediction
+resolution).
+
+Batch contract (see models/heads/pairnet_loss.py):
+  image       (B, H, W, 3) f32 normalized
+  gt_labels   (B, G) int32        gt_valid (B, G) bool
+  gt_masks    (B, G, H/s, W/s) f32 {0,1}
+  gt_rels     (B, R, 3) int32 [sub, obj, predicate_1based]
+  rel_valid   (B, R) bool
+  image_shape (B, 2) int32  (unpadded h, w after resize)
+  orig_shape  (B, 2) int32  (original image h, w)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.asarray([58.395, 57.12, 57.375], np.float32)
+
+
+@dataclass
+class PipelineConfig:
+    target_size: tuple[int, int] = (800, 1333)  # (short, long) keep-ratio cap
+    pad_size: tuple[int, int] | None = None  # (H, W) padded canvas; derived if None
+    size_divisor: int = 32
+    mask_stride: int = 4
+    max_inst: int = 64
+    max_rels: int = 100
+    flip_prob: float = 0.5
+    train_scales: tuple[int, ...] = ()  # optional multi-scale short sides
+    mean: np.ndarray = field(default_factory=lambda: IMAGENET_MEAN)
+    std: np.ndarray = field(default_factory=lambda: IMAGENET_STD)
+
+    def padded_hw(self) -> tuple[int, int]:
+        if self.pad_size is not None:
+            return self.pad_size
+        short, long = self.target_size
+        d = self.size_divisor
+        pad = lambda v: ((v + d - 1) // d) * d
+        return pad(short), pad(long)
+
+
+def _resize_image(img: np.ndarray, scale: float) -> np.ndarray:
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    return np.asarray(
+        Image.fromarray(img).resize((nw, nh), Image.BILINEAR), np.uint8
+    )
+
+
+def _resize_masks_nearest(masks: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """(N, H, W) bool -> (N, nh, nw) bool via nearest-neighbor index mapping."""
+    n, h, w = masks.shape
+    nh, nw = out_hw
+    if n == 0:
+        return np.zeros((0, nh, nw), bool)
+    ys = np.minimum((np.arange(nh) + 0.5) * h / nh, h - 1).astype(np.int64)
+    xs = np.minimum((np.arange(nw) + 0.5) * w / nw, w - 1).astype(np.int64)
+    return masks[:, ys[:, None], xs[None, :]]
+
+
+def keep_ratio_scale(h: int, w: int, short: int, long: int) -> float:
+    """mmdet keep-ratio rescale factor for target (long, short)."""
+    return min(long / max(h, w), short / min(h, w))
+
+
+def preprocess_sample(
+    dataset,
+    idx: int,
+    cfg: PipelineConfig,
+    train: bool,
+    rng: np.random.Generator | None = None,
+) -> dict:
+    """One image -> fixed-shape numpy sample dict."""
+    rng = rng or np.random.default_rng()
+    img = dataset.load_image(idx)
+    masks, mask_labels, _ = dataset.load_masks(idx)
+    ann = dataset.get_ann_info(idx)
+    rels = ann["rels"]  # (R, 3) predicate 1-based
+    labels = np.asarray(
+        [m["category"] for m in ann["masks"]], np.int64
+    )  # per-segment class (things + stuff), aligned with masks
+
+    short, long = cfg.target_size
+    if train and cfg.train_scales:
+        short = int(rng.choice(cfg.train_scales))
+    scale = keep_ratio_scale(img.shape[0], img.shape[1], short, long)
+    orig_h, orig_w = img.shape[:2]
+    img_r = _resize_image(img, scale)
+    rh, rw = img_r.shape[:2]
+
+    if train and rng.random() < cfg.flip_prob:
+        img_r = img_r[:, ::-1]
+        masks = masks[:, :, ::-1]
+
+    pad_h, pad_w = cfg.padded_hw()
+    rh, rw = min(rh, pad_h), min(rw, pad_w)
+    canvas = np.zeros((pad_h, pad_w, 3), np.float32)
+    canvas[:rh, :rw] = (img_r[:rh, :rw].astype(np.float32) - cfg.mean) / cfg.std
+
+    s = cfg.mask_stride
+    mh, mw = pad_h // s, pad_w // s
+    # resize masks to the resized-image geometry, then place on the canvas
+    m_small = _resize_masks_nearest(masks, (max(1, rh // s), max(1, rw // s)))
+    G = cfg.max_inst
+    gt_masks = np.zeros((G, mh, mw), np.float32)
+    gt_labels = np.zeros((G,), np.int32)
+    gt_valid = np.zeros((G,), bool)
+    n = min(len(masks), G)
+    gt_masks[:n, : m_small.shape[1], : m_small.shape[2]] = m_small[:n]
+    gt_labels[:n] = labels[:n]
+    gt_valid[:n] = True
+
+    R = cfg.max_rels
+    gt_rels = np.zeros((R, 3), np.int32)
+    rel_valid = np.zeros((R,), bool)
+    # drop relations whose endpoints were truncated away by max_inst
+    ok = (rels[:, 0] < n) & (rels[:, 1] < n) if len(rels) else np.zeros(0, bool)
+    rels = rels[ok][:R]
+    gt_rels[: len(rels)] = rels
+    rel_valid[: len(rels)] = True
+
+    return {
+        "image": canvas,
+        "gt_labels": gt_labels,
+        "gt_masks": gt_masks,
+        "gt_valid": gt_valid,
+        "gt_rels": gt_rels,
+        "rel_valid": rel_valid,
+        "image_shape": np.asarray([rh, rw], np.int32),
+        "orig_shape": np.asarray([orig_h, orig_w], np.int32),
+    }
+
+
+def collate(samples: list[dict]) -> dict:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class Loader:
+    """Minimal epoch loader: shuffle, preprocess, collate to fixed shapes.
+
+    The reference uses torch DataLoader workers (ref: SURVEY.md §3.1); a
+    threaded prefetcher can wrap this without changing the contract.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        cfg: PipelineConfig,
+        batch_size: int,
+        train: bool,
+        seed: int = 0,
+        drop_last: bool | None = None,
+    ):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = train if drop_last is None else drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        b = self.batch_size
+        return n // b if self.drop_last else (n + b - 1) // b
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.train:
+            self.rng.shuffle(order)
+        b = self.batch_size
+        end = len(order) - (len(order) % b) if self.drop_last else len(order)
+        for start in range(0, end, b):
+            idxs = order[start : start + b]
+            samples = [
+                preprocess_sample(self.dataset, int(i), self.cfg, self.train, self.rng)
+                for i in idxs
+            ]
+            # pad the trailing partial batch by repeating the first sample
+            while len(samples) < b:
+                samples.append(samples[0])
+            batch = collate(samples)
+            batch["batch_valid"] = np.arange(b) < len(idxs)
+            yield batch

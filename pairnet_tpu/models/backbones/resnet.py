@@ -1,0 +1,103 @@
+"""ResNet backbone (pytorch-style bottleneck, frozen BN), NHWC.
+
+Capability match for the reference backbone
+(ref: configs/mask2former/pairnet.py:9-19 — ResNet-50, out_indices (0,1,2,3),
+frozen_stages=1, BN frozen, torchvision init). Weight layout is chosen so a
+torchvision checkpoint converts by pure transposition (see
+pairnet_tpu/utils/torch_convert.py).
+
+"pytorch style": the stride-2 convolution of a downsampling bottleneck lives
+in conv2 (the 3x3), matching torchvision.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pairnet_tpu.config.registry import BACKBONES
+from pairnet_tpu.models.layers import FrozenBatchNorm
+
+_STAGE_BLOCKS = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
+        out = nn.Conv(
+            self.planes,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
+            use_bias=False,
+            name="conv2",
+        )(out)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes * 4,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+@BACKBONES.register()
+class ResNet(nn.Module):
+    """Returns (C2, C3, C4, C5) at strides (4, 8, 16, 32), NHWC."""
+
+    depth: int = 50
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    base_width: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        blocks = _STAGE_BLOCKS[self.depth]
+        x = nn.Conv(
+            self.base_width,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            name="conv1",
+        )(x)
+        x = nn.relu(FrozenBatchNorm(self.base_width, name="bn1")(x))
+        # torch MaxPool2d(kernel=3, stride=2, padding=1)
+        x = jnp.pad(
+            x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf
+        )
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+
+        outs = []
+        planes = self.base_width
+        for stage, n_blocks in enumerate(blocks):
+            stride = 1 if stage == 0 else 2
+            for b in range(n_blocks):
+                x = Bottleneck(
+                    planes,
+                    stride=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return tuple(outs)
