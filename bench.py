@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Headline benchmark: Pair-Net R-50 sgdet inference throughput on one chip.
+
+Measures images/sec for the full flagship model (ResNet-50 + MSDeformAttn
+pixel decoder + 9-layer masked-attn decoder + PPN + Relation Fusion + head
+outputs) at the reference eval resolution 1333x800 (padded 800x1344).
+
+The reference publishes no throughput numbers (SURVEY.md §6); the baseline
+constant below is the documented estimate for the reference PyTorch stack on
+its RTX 3090-class GPUs (Mask2Former-R50-sized models run ~10 img/s at this
+resolution in mmdetection). North star: >= 8x that per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pairnet_jax_cache")
+
+REFERENCE_GPU_IMG_PER_S = 10.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+
+    model = _flagship()
+    B, H, W = int(os.environ.get("BENCH_BATCH", "4")), 800, 1344
+    # random (not constant) input: the tunneled runtime can elide repeated
+    # identical executions, producing fantasy numbers
+    img = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3), jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
+    )
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+
+    out = fwd(variables, img)
+    jax.block_until_ready(out)
+
+    # timed steady-state
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(variables, img)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    img_per_s = B * n_iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_pairnet_r50_sgdet_1333x800",
+                "value": round(img_per_s, 3),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / REFERENCE_GPU_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Inference-to-evaluation glue: run the model over a split and score it.
+
+Counterpart of tools/test.py's single_gpu_test + dataset.evaluate flow
+(ref: tools/test.py:250-295, pairnet/datasets/psg.py:285-404): batched
+jitted inference, mask upsampling to original resolution, conversion to the
+eval protocol (1-based labels, rel_dists with bg column), then the recall
+engine. Padded batch entries (trailing partial batch) are skipped via
+``batch_valid``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pairnet_tpu.data.pipeline import Loader, PipelineConfig
+from pairnet_tpu.evaluation.sgg_eval import (
+    SGGroundTruth,
+    SGPrediction,
+    sgg_evaluate,
+)
+
+
+def _resize_logits(mask_logits: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """(N, h, w) float -> (N, H, W) bilinear (PIL mode-F, matches
+    F.interpolate(align_corners=False) closely)."""
+    from PIL import Image
+
+    H, W = out_hw
+    out = np.empty((mask_logits.shape[0], H, W), np.float32)
+    for i, m in enumerate(mask_logits):
+        out[i] = np.asarray(
+            Image.fromarray(m.astype(np.float32), mode="F").resize(
+                (W, H), Image.BILINEAR
+            )
+        )
+    return out
+
+
+def predictions_to_protocol(
+    out: dict, batch: dict, mask_stride: int, num_things: int = 80
+) -> list[SGPrediction]:
+    """Convert raw batched head outputs to per-image SGPredictions at
+    original resolution."""
+    preds = []
+    B = out["rel"].shape[0]
+    for b in range(B):
+        if "batch_valid" in batch and not batch["batch_valid"][b]:
+            continue
+        rh, rw = (int(x) for x in batch["image_shape"][b])
+        oh, ow = (int(x) for x in batch["orig_shape"][b])
+        K, R = out["rel"][b].shape
+
+        def softmax(x):
+            e = np.exp(x - x.max(-1, keepdims=True))
+            return e / e.sum(-1, keepdims=True)
+
+        s_prob = softmax(np.asarray(out["sub"][b], np.float32))[:, :-1]
+        o_prob = softmax(np.asarray(out["obj"][b], np.float32))[:, :-1]
+        s_labels = s_prob.argmax(-1) + 1
+        o_labels = o_prob.argmax(-1) + 1
+        r_dists = softmax(np.asarray(out["rel"][b], np.float32))
+        r_dists = np.concatenate([np.zeros((K, 1), np.float32), r_dists], -1)
+
+        # crop the valid region of the stride-s logit map, upsample to orig
+        ch = max(1, int(np.ceil(rh / mask_stride)))
+        cw = max(1, int(np.ceil(rw / mask_stride)))
+        s_seg = np.asarray(out["sub_seg"][b], np.float32)[:, :ch, :cw]
+        o_seg = np.asarray(out["obj_seg"][b], np.float32)[:, :ch, :cw]
+        s_masks = _resize_logits(s_seg, (oh, ow)) > 0.0  # sigmoid(x)>0.5 <=> x>0
+        o_masks = _resize_logits(o_seg, (oh, ow)) > 0.0
+
+        preds.append(
+            SGPrediction(
+                labels=np.concatenate([s_labels, o_labels]).astype(np.int64),
+                rel_pair_idxes=np.stack(
+                    [np.arange(K), np.arange(K) + K], axis=1
+                ),
+                rel_dists=r_dists,
+                masks=np.concatenate([s_masks, o_masks]),
+            )
+        )
+    return preds
+
+
+def load_groundtruths(dataset) -> list[SGGroundTruth]:
+    """GT in eval protocol: 1-based labels, full-res masks
+    (ref: psg.py:344-391)."""
+    gts = []
+    for i in range(len(dataset)):
+        masks, labels, _ = dataset.load_masks(i)
+        ann = dataset.get_ann_info(i)
+        gts.append(
+            SGGroundTruth(
+                labels=np.asarray(
+                    [m["category"] for m in ann["masks"]], np.int64
+                )
+                + 1,
+                rels=np.asarray(ann["rels"], np.int64),
+                masks=masks,
+                boxes=ann["bboxes"],
+            )
+        )
+    return gts
+
+
+def evaluate_model(
+    apply_fn,
+    dataset,
+    pipe_cfg: PipelineConfig,
+    batch_size: int = 1,
+    mode: str = "sgdet",
+    num_predicates: int = 56,
+    num_things: int = 80,
+    iou_thr: float = 0.5,
+) -> dict:
+    """Run inference over ``dataset`` and return the metric dict.
+
+    ``apply_fn(image_batch) -> output dict`` should be jitted by the caller.
+    """
+    loader = Loader(dataset, pipe_cfg, batch_size, train=False, seed=0)
+    preds: list[SGPrediction] = []
+    for batch in loader:
+        out = apply_fn(batch["image"])
+        out = {k: np.asarray(v) for k, v in out.items() if k != "queries"}
+        preds.extend(
+            predictions_to_protocol(out, batch, pipe_cfg.mask_stride, num_things)
+        )
+    gts = load_groundtruths(dataset)
+    assert len(gts) == len(preds), (len(gts), len(preds))
+    return sgg_evaluate(
+        gts,
+        preds,
+        mode=mode,
+        num_predicates=num_predicates,
+        iou_thr=iou_thr,
+        detection_method="pan_seg",
+        num_things=num_things,
+    )

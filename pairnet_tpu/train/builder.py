@@ -1,0 +1,40 @@
+"""Config -> model / dataset / pipeline / optimizer assembly for the CLIs."""
+
+from __future__ import annotations
+
+import os
+
+from pairnet_tpu.config import Config
+from pairnet_tpu.data.pipeline import PipelineConfig
+from pairnet_tpu.data.psg import PSGDataset
+from pairnet_tpu.models.frameworks.psgtr import build_model
+
+
+def build_pipeline_cfg(cfg: Config, train: bool) -> PipelineConfig:
+    p = dict(cfg.data.pipeline)
+    if not train:
+        p.pop("train_scales", None)
+        p["flip_prob"] = 0.0
+    p["target_size"] = tuple(p["target_size"])
+    if "train_scales" in p:
+        p["train_scales"] = tuple(p["train_scales"])
+    return PipelineConfig(**p)
+
+
+def build_dataset(cfg: Config, split: str):
+    d = dict(cfg.data.dataset)
+    d.pop("type", None)
+    synthetic = d.pop("synthetic", False)
+    if synthetic and not d.get("data_root"):
+        root = os.path.join("/tmp", "pairnet_tpu_synthetic")
+        if not os.path.exists(os.path.join(root, "psg.json")):
+            from pairnet_tpu.data.synthetic import make_synthetic_psg
+
+            os.makedirs(root, exist_ok=True)
+            make_synthetic_psg(root, num_images=8, num_test=3, seed=1)
+        d["data_root"] = root
+    return PSGDataset(split=split, **d)
+
+
+def build_detector(cfg: Config):
+    return build_model(cfg.model)

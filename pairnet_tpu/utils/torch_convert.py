@@ -1,0 +1,259 @@
+"""PyTorch -> JAX weight conversion for reference checkpoints.
+
+Converts torchvision ResNet / mmdet Mask2Former / reference CrossHead2
+(Pair-Net) state_dicts into this framework's parameter trees
+(ref: SURVEY.md §5.4 — load_from pretrain/m2f_r50_coco.pth and the published
+Pair-Net checkpoints are the parity gate; without the conversion the
+segmenter would need re-pretraining).
+
+Layout conventions:
+* torch Linear weight (out, in)  -> flax Dense kernel (in, out): transpose
+* torch Conv2d (O, I, kh, kw)    -> flax Conv kernel (kh, kw, I, O)
+* torch nn.MultiheadAttention packed in_proj (3C, C) -> split q/k/v
+* BatchNorm weight/bias/running_mean/running_var -> 'constants' collection
+  (FrozenBatchNorm)
+
+All mapping is name-based on the reference's module naming
+(ref: pairnet/models/relation_heads/pairnet_head.py:63-176 and mmcv
+module layouts).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+
+def _t(w):  # torch tensor/ndarray -> np
+    if hasattr(w, "detach"):
+        w = w.detach().cpu().numpy()
+    return np.asarray(w)
+
+
+def _linear(dst: dict, prefix_out: str, sd: Mapping, prefix_in: str):
+    dst[f"{prefix_out}/kernel"] = _t(sd[f"{prefix_in}.weight"]).T
+    if f"{prefix_in}.bias" in sd:
+        dst[f"{prefix_out}/bias"] = _t(sd[f"{prefix_in}.bias"])
+
+
+def _conv(dst: dict, prefix_out: str, sd: Mapping, prefix_in: str):
+    dst[f"{prefix_out}/kernel"] = _t(sd[f"{prefix_in}.weight"]).transpose(2, 3, 1, 0)
+    if f"{prefix_in}.bias" in sd:
+        dst[f"{prefix_out}/bias"] = _t(sd[f"{prefix_in}.bias"])
+
+
+def _norm(dst: dict, prefix_out: str, sd: Mapping, prefix_in: str):
+    """LayerNorm/GroupNorm -> flax {scale, bias}."""
+    dst[f"{prefix_out}/scale"] = _t(sd[f"{prefix_in}.weight"])
+    dst[f"{prefix_out}/bias"] = _t(sd[f"{prefix_in}.bias"])
+
+
+def _bn(consts: dict, prefix_out: str, sd: Mapping, prefix_in: str):
+    consts[f"{prefix_out}/weight"] = _t(sd[f"{prefix_in}.weight"])
+    consts[f"{prefix_out}/bias"] = _t(sd[f"{prefix_in}.bias"])
+    consts[f"{prefix_out}/running_mean"] = _t(sd[f"{prefix_in}.running_mean"])
+    consts[f"{prefix_out}/running_var"] = _t(sd[f"{prefix_in}.running_var"])
+
+
+def _mha(dst: dict, prefix_out: str, sd: Mapping, prefix_in: str):
+    """torch nn.MultiheadAttention -> our q/k/v/out projections."""
+    w = _t(sd[f"{prefix_in}.in_proj_weight"])
+    b = _t(sd[f"{prefix_in}.in_proj_bias"])
+    C = w.shape[1]
+    for i, name in enumerate(["q_proj", "k_proj", "v_proj"]):
+        dst[f"{prefix_out}/{name}/kernel"] = w[i * C : (i + 1) * C].T
+        dst[f"{prefix_out}/{name}/bias"] = b[i * C : (i + 1) * C]
+    _linear(dst, f"{prefix_out}/out_proj", sd, f"{prefix_in}.out_proj")
+
+
+def convert_resnet(sd: Mapping, prefix: str = "") -> tuple[dict, dict]:
+    """torchvision/mmdet ResNet state_dict -> (params flat, constants flat).
+
+    Keys are '/'-joined paths relative to the backbone module.
+    """
+    params: dict = {}
+    consts: dict = {}
+    g = lambda k: f"{prefix}{k}"
+    _conv(params, "conv1", sd, g("conv1"))
+    _bn(consts, "bn1", sd, g("bn1"))
+    layer_re = re.compile(rf"^{re.escape(prefix)}layer(\d+)\.(\d+)\.")
+    blocks = sorted(
+        {(int(m.group(1)), int(m.group(2))) for k in sd if (m := layer_re.match(k))}
+    )
+    for stage, b in blocks:
+        src = f"{prefix}layer{stage}.{b}"
+        out = f"layer{stage}_{b}"
+        for c in (1, 2, 3):
+            _conv(params, f"{out}/conv{c}", sd, f"{src}.conv{c}")
+            _bn(consts, f"{out}/bn{c}", sd, f"{src}.bn{c}")
+        if f"{src}.downsample.0.weight" in sd:
+            _conv(params, f"{out}/downsample_conv", sd, f"{src}.downsample.0")
+            _bn(consts, f"{out}/downsample_bn", sd, f"{src}.downsample.1")
+    return params, consts
+
+
+def convert_pixel_decoder(sd: Mapping, prefix: str) -> dict:
+    """mmdet MSDeformAttnPixelDecoder -> our pixel_decoder subtree (flat)."""
+    p: dict = {}
+    # input projections (encoder levels)
+    i = 0
+    while f"{prefix}input_convs.{i}.conv.weight" in sd:
+        _conv(p, f"input_conv_{i}", sd, f"{prefix}input_convs.{i}.conv")
+        _norm(p, f"input_gn_{i}", sd, f"{prefix}input_convs.{i}.gn")
+        i += 1
+    # encoder layers
+    i = 0
+    while f"{prefix}encoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{prefix}encoder.layers.{i}"
+        out = f"encoder_layer_{i}"
+        for n in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+            _linear(p, f"{out}/attn/{n}", sd, f"{src}.attentions.0.{n}")
+        _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+        _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+        i += 1
+    p["level_encoding"] = _t(sd[f"{prefix}level_encoding.weight"])
+    # FPN laterals (remaining high-res levels; mmdet indexes 0..)
+    i = 0
+    while f"{prefix}lateral_convs.{i}.conv.weight" in sd:
+        _conv(p, f"lateral_conv_{i}", sd, f"{prefix}lateral_convs.{i}.conv")
+        _norm(p, f"lateral_gn_{i}", sd, f"{prefix}lateral_convs.{i}.gn")
+        _conv(p, f"output_conv_{i}", sd, f"{prefix}output_convs.{i}.conv")
+        _norm(p, f"output_gn_{i}", sd, f"{prefix}output_convs.{i}.gn")
+        i += 1
+    _conv(p, "mask_feature", sd, f"{prefix}mask_feature")
+    return p
+
+
+def convert_transformer_decoder(sd: Mapping, prefix: str, head_prefix: str) -> dict:
+    """mmdet Mask2Former transformer decoder + query embeds + heads."""
+    p: dict = {}
+    i = 0
+    while f"{prefix}layers.{i}.norms.0.weight" in sd:
+        src = f"{prefix}layers.{i}"
+        out = f"layer_{i}"
+        _mha(p, f"{out}/cross_attn", sd, f"{src}.attentions.0.attn")
+        _mha(p, f"{out}/self_attn", sd, f"{src}.attentions.1.attn")
+        _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+        _norm(p, f"{out}/norm3", sd, f"{src}.norms.2")
+        _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+        i += 1
+    _norm(p, "post_norm", sd, f"{prefix}post_norm")
+    p["query_feat"] = _t(sd[f"{head_prefix}query_feat.weight"])
+    p["query_embed"] = _t(sd[f"{head_prefix}query_embed.weight"])
+    p["level_embed"] = _t(sd[f"{head_prefix}level_embed.weight"])
+    _linear(p, "cls_embed", sd, f"{head_prefix}cls_embed")
+    for j, li in enumerate((0, 2, 4)):
+        _linear(p, f"mask_embed/layers_{j}", sd, f"{head_prefix}mask_embed.{li}")
+    return p
+
+
+def convert_pairnet_head(sd: Mapping, prefix: str = "bbox_head.") -> dict:
+    """Reference CrossHead2 -> our PairNetHead subtree (flat '/'-keyed)."""
+    p: dict = {}
+    sub = convert_pixel_decoder(sd, f"{prefix}pixel_decoder.")
+    p.update({f"pixel_decoder/{k}": v for k, v in sub.items()})
+    sub = convert_transformer_decoder(
+        sd, f"{prefix}transformer_decoder.", prefix
+    )
+    p.update({f"transformer_decoder/{k}": v for k, v in sub.items()})
+
+    # PPN MLPs (Sequential indices 0, 2, 4)
+    for name in ("sub_query_update", "obj_query_update"):
+        for j, li in enumerate((0, 2, 4)):
+            _linear(p, f"{name}/layers_{j}", sd, f"{prefix}{name}.{li}")
+    _linear(p, "rel_cls_embed", sd, f"{prefix}rel_cls_embed")
+    for name in ("rel_query_feat", "rel_query_embed", "rel_query_embed2", "rel_query_embed3"):
+        p[name] = _t(sd[f"{prefix}{name}.weight"])
+    # ConvTiny matrix learner: conv_layers.{i}.0 (Sequential(Conv, ReLU))
+    for i in range(3):
+        _conv(p, f"update_importance/conv{i}", sd, f"{prefix}update_importance.conv_layers.{i}.0")
+    # relation decoder
+    i = 0
+    while f"{prefix}relation_decoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{prefix}relation_decoder.layers.{i}"
+        out = f"relation_layer_{i}"
+        _mha(p, f"{out}/cross_attn", sd, f"{src}.attentions.0.attn")
+        _mha(p, f"{out}/self_attn", sd, f"{src}.attentions.1.attn")
+        _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+        _norm(p, f"{out}/norm3", sd, f"{src}.norms.2")
+        _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+        i += 1
+    return p
+
+
+def unflatten(flat: Mapping) -> dict:
+    tree: dict = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def convert_pairnet_checkpoint(sd: Mapping) -> dict:
+    """Full reference Pair-Net (PSGTr + CrossHead2) checkpoint -> variables.
+
+    Returns {'params': ..., 'constants': ...} nested trees matching
+    PSGTr(ResNet, PairNetHead).init.
+    """
+    sd = sd.get("state_dict", sd)
+    bb_params, bb_consts = convert_resnet(sd, "backbone.")
+    head = convert_pairnet_head(sd, "bbox_head.")
+    params = {
+        "backbone": unflatten(bb_params),
+        "bbox_head": unflatten(head),
+    }
+    constants = {"backbone": unflatten(bb_consts)}
+    return {"params": params, "constants": constants}
+
+
+def convert_mask2former_checkpoint(sd: Mapping) -> dict:
+    """mmdet Mask2Former (m2f_r50_coco.pth) -> segmenter-only variables for
+    warm-starting PairNetHead (PPN/relation parts stay at init)."""
+    sd = sd.get("state_dict", sd)
+    bb_params, bb_consts = convert_resnet(sd, "backbone.")
+    p: dict = {}
+    sub = convert_pixel_decoder(sd, "panoptic_head.pixel_decoder.")
+    p.update({f"pixel_decoder/{k}": v for k, v in sub.items()})
+    sub = convert_transformer_decoder(
+        sd, "panoptic_head.transformer_decoder.", "panoptic_head."
+    )
+    p.update({f"transformer_decoder/{k}": v for k, v in sub.items()})
+    return {
+        "params": {"backbone": unflatten(bb_params), "bbox_head": unflatten(p)},
+        "constants": {"backbone": unflatten(bb_consts)},
+    }
+
+
+def merge_pretrained(variables: dict, pretrained: dict) -> dict:
+    """Overlay ``pretrained`` onto freshly initialized ``variables``,
+    checking shapes; missing keys keep their init (ref load_from semantics)."""
+    import jax
+
+    def overlay(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"unexpected converted key {path}/{k}")
+            if isinstance(v, Mapping):
+                out[k] = overlay(dst[k], v, f"{path}/{k}")
+            else:
+                have = np.asarray(dst[k])
+                if have.shape != v.shape:
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: {have.shape} vs {v.shape}"
+                    )
+                out[k] = v.astype(have.dtype)
+        return out
+
+    return overlay(variables, pretrained)

@@ -1,22 +1,24 @@
 """Test configuration: force CPU with 8 virtual devices.
 
 This is the JAX-native "fake cluster" (SURVEY.md §4d): multi-device sharding
-paths are exercised without TPU hardware via
-``--xla_force_host_platform_device_count``. Must run before jax imports.
+paths are exercised without TPU hardware. The environment presets
+JAX_PLATFORMS=axon (TPU tunnel) and a pytest plugin imports jax before this
+conftest runs, so env vars are too late — but backends initialize lazily, so
+jax.config updates still take effect here.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/pairnet_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do NOT enable the persistent compilation cache for CPU tests — the
+# XLA:CPU AOT cache records machine features (+prefer-no-scatter, ...) that
+# mismatch on reload here and hard-abort the process (SIGILL risk). The
+# persistent cache is for TPU runs only (bench.py / tools set it themselves).
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on CPU; jax backend was initialized before conftest: "
+    f"{jax.devices()}"
+)
+assert len(jax.devices()) == 8

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Evaluate a scene-graph model (counterpart of the reference tools/test.py).
+
+Usage:
+    python tools/test.py CONFIG [CHECKPOINT_DIR] --eval sgdet
+                         [--cfg-options k=v ...] [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pairnet_jax_cache")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a PSG model")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", help="work dir with ckpts/ (optional)")
+    p.add_argument("--eval", default="sgdet", choices=["sgdet", "predcls", "pairdet"])
+    p.add_argument("--out", help="dump metrics json here")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def load_params(model, ckpt_dir, init_fn):
+    variables = init_fn()
+    if not ckpt_dir:
+        logging.warning("no checkpoint given: evaluating RANDOM weights")
+        return variables
+    import jax
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(os.path.join(ckpt_dir, "ckpts")))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}/ckpts")
+    from pairnet_tpu.train.optim import build_optimizer
+    from pairnet_tpu.train.trainer import TrainState
+
+    tx = build_optimizer(variables["params"])
+    state = TrainState.create(variables, tx, 1)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(jax.device_get(state)))
+    logging.info("loaded checkpoint step %s from %s", step, ckpt_dir)
+    return restored.params
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+
+    from pairnet_tpu.config import apply_overrides, load_config
+    from pairnet_tpu.evaluation.runner import evaluate_model
+    from pairnet_tpu.train.builder import (
+        build_dataset,
+        build_detector,
+        build_pipeline_cfg,
+    )
+
+    cfg = load_config(args.config)
+    if args.cfg_options:
+        cfg = apply_overrides(cfg, args.cfg_options)
+
+    dataset = build_dataset(cfg, split="test")
+    pipe_cfg = build_pipeline_cfg(cfg, train=False)
+    model = build_detector(cfg)
+
+    sample_shape = (1, *pipe_cfg.padded_hw(), 3)
+    variables = load_params(
+        model,
+        args.checkpoint,
+        lambda: jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
+        ),
+    )
+    apply_fn = jax.jit(lambda img: model.apply(variables, jnp.asarray(img)))
+
+    t0 = time.time()
+    metrics = evaluate_model(
+        apply_fn,
+        dataset,
+        pipe_cfg,
+        batch_size=args.batch_size,
+        mode=args.eval,
+        num_predicates=cfg.num_relation_classes,
+        num_things=cfg.evaluation.num_things,
+        iou_thr=cfg.evaluation.get("iou_thr", 0.5),
+    )
+    dt = time.time() - t0
+    metrics[f"{args.eval}_eval_time_s"] = round(dt, 2)
+    metrics[f"{args.eval}_images_per_s"] = round(len(dataset) / dt, 3)
+
+    for k, v in sorted(metrics.items()):
+        logging.info("%s: %.4f", k, v)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=2)
+        logging.info("metrics written to %s", args.out)
+
+
+if __name__ == "__main__":
+    main()

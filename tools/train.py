@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Train a scene-graph model (counterpart of the reference tools/train.py).
+
+Usage:
+    python tools/train.py CONFIG [--work-dir D] [--max-steps N]
+                          [--resume] [--cfg-options k=v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pairnet_jax_cache")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a PSG model")
+    p.add_argument("config")
+    p.add_argument("--work-dir")
+    p.add_argument("--max-steps", type=int, default=0, help="cap total steps (smoke)")
+    p.add_argument("--max-epochs", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--cfg-options", nargs="+", default=[], help="dotted-path overrides k=v"
+    )
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+
+    from pairnet_tpu.config import apply_overrides, load_config
+    from pairnet_tpu.data.pipeline import Loader
+    from pairnet_tpu.parallel.mesh import make_mesh
+    from pairnet_tpu.train.builder import (
+        build_dataset,
+        build_detector,
+        build_pipeline_cfg,
+    )
+    from pairnet_tpu.train.optim import build_optimizer, step_lr_schedule
+    from pairnet_tpu.train.trainer import TrainState, Trainer
+
+    cfg = load_config(args.config)
+    if args.cfg_options:
+        cfg = apply_overrides(cfg, args.cfg_options)
+    work_dir = args.work_dir or cfg.work_dir
+    os.makedirs(work_dir, exist_ok=True)
+    cfg.dump(os.path.join(work_dir, "config.json"))
+
+    seed = args.seed if args.seed is not None else cfg.get("seed", 10086)
+    dataset = build_dataset(cfg, split="train")
+    pipe_cfg = build_pipeline_cfg(cfg, train=True)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    batch_size = cfg.data.samples_per_device * n_dev
+    loader_fn = lambda epoch: Loader(
+        dataset, pipe_cfg, batch_size, train=True, seed=seed + epoch
+    )
+    steps_per_epoch = max(1, len(loader_fn(0)))
+
+    model = build_detector(cfg)
+    sample = next(iter(loader_fn(0)))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(seed), jnp.asarray(sample["image"][:1])
+    )
+    n_params = sum(
+        p.size for p in jax.tree_util.tree_leaves(variables["params"])
+    )
+    logging.info(
+        "model %s: %.2fM params, %d devices, batch %d, %d steps/epoch",
+        cfg.model.type, n_params / 1e6, n_dev, batch_size, steps_per_epoch,
+    )
+
+    base_lr = cfg.optimizer.lr
+    scale_base = cfg.optimizer.get("auto_scale_lr_base_batch")
+    if scale_base:
+        base_lr = base_lr * batch_size / scale_base
+    schedule = step_lr_schedule(
+        base_lr, steps_per_epoch, cfg.schedule.decay_epochs, cfg.schedule.gamma
+    )
+    tx = build_optimizer(
+        variables["params"],
+        weight_decay=cfg.optimizer.weight_decay,
+        grad_clip=cfg.optimizer.grad_clip,
+        custom_lr_keys=dict(cfg.optimizer.custom_lr_keys),
+        schedule=schedule,
+    )
+    state = TrainState.create(
+        variables, tx, cfg.num_relation_classes, seed=seed
+    )
+    trainer = Trainer(
+        model, tx, state, work_dir, mesh=mesh,
+        loss_kwargs=dict(cfg.get("loss", {})),
+        log_interval=cfg.get("log_interval", 50),
+        ckpt_interval_epochs=cfg.checkpoint.interval_epochs,
+        max_keep_ckpts=cfg.checkpoint.max_keep,
+    )
+    max_epochs = args.max_epochs or cfg.schedule.max_epochs
+    if args.max_steps:
+        max_epochs = min(max_epochs, -(-args.max_steps // steps_per_epoch))
+
+    if not args.resume:
+        # fresh run unless --resume (reference: --resume-from/--auto-resume)
+        trainer.resume = lambda: 0  # type: ignore[method-assign]
+    last = trainer.fit(loader_fn, max_epochs)
+    logging.info("training done: %s", last)
+
+
+if __name__ == "__main__":
+    main()
