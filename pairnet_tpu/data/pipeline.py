@@ -126,6 +126,13 @@ def preprocess_sample(
     gt_labels[:n] = labels[:n]
     gt_valid[:n] = True
 
+    # boxes in resized-image pixels, derived from the (stride-s) masks
+    gt_boxes = np.zeros((G, 4), np.float32)
+    for i in range(n):
+        ys, xs = np.nonzero(gt_masks[i])
+        if len(ys):
+            gt_boxes[i] = [xs.min() * s, ys.min() * s, (xs.max() + 1) * s, (ys.max() + 1) * s]
+
     R = cfg.max_rels
     gt_rels = np.zeros((R, 3), np.int32)
     rel_valid = np.zeros((R,), bool)
@@ -138,6 +145,7 @@ def preprocess_sample(
     return {
         "image": canvas,
         "gt_labels": gt_labels,
+        "gt_boxes": gt_boxes,
         "gt_masks": gt_masks,
         "gt_valid": gt_valid,
         "gt_rels": gt_rels,

@@ -1,0 +1,100 @@
+"""PSGTr head: forward, per-layer loss, postprocess smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pairnet_tpu.models.backbones.resnet import ResNet
+from pairnet_tpu.models.frameworks.psgtr import PSGTr
+from pairnet_tpu.models.heads.psgtr_head import (
+    PSGTrHead,
+    psgtr_loss,
+    psgtr_postprocess,
+)
+from tests.test_pairnet_model import _fake_batch
+
+
+@pytest.fixture(scope="module")
+def tiny_psgtr():
+    head = PSGTrHead(
+        num_classes=7,
+        num_relations=5,
+        num_query=12,
+        embed_dims=32,
+        num_heads=4,
+        num_encoder_layers=2,
+        num_decoder_layers=2,
+    )
+    return PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+
+
+def _batch_with_boxes(rng, **kw):
+    batch = _fake_batch(rng, **kw)
+    B, G = batch["gt_labels"].shape
+    boxes = np.zeros((B, G, 4), np.float32)
+    masks = np.asarray(batch["gt_masks"])
+    for b in range(B):
+        for g in range(G):
+            ys, xs = np.nonzero(masks[b, g])
+            if len(ys):
+                boxes[b, g] = [xs.min() * 4, ys.min() * 4, (xs.max() + 1) * 4, (ys.max() + 1) * 4]
+    batch["gt_boxes"] = jnp.asarray(boxes)
+    batch["image_shape"] = jnp.asarray([[64, 64]] * B, jnp.int32)
+    return batch
+
+
+def test_forward_shapes(tiny_psgtr):
+    rng = np.random.default_rng(0)
+    batch = _batch_with_boxes(rng)
+    params = jax.jit(tiny_psgtr.init)(jax.random.PRNGKey(0), batch["image"])
+    out = jax.jit(tiny_psgtr.apply)(params, batch["image"])
+    B, Q = 2, 12
+    assert out["sub"].shape == (B, Q, 8)
+    assert out["rel"].shape == (B, Q, 6)
+    assert out["sub_box"].shape == (B, Q, 4)
+    assert (np.asarray(out["sub_box"]) >= 0).all()
+    assert (np.asarray(out["sub_box"]) <= 1).all()
+    # masks upsampled from stride 32 to stride 4
+    assert out["sub_seg"].shape == (B, Q, 16, 16)
+    assert len(out["layers"]["sub"]) == 2
+
+
+def test_loss_and_grad(tiny_psgtr):
+    rng = np.random.default_rng(1)
+    batch = _batch_with_boxes(rng)
+    params = jax.jit(tiny_psgtr.init)(jax.random.PRNGKey(0), batch["image"])
+
+    def loss_fn(p):
+        out = tiny_psgtr.apply(p, batch["image"])
+        losses = psgtr_loss(out, batch, num_classes=7, num_relations=5)
+        return losses["loss_total"], losses
+
+    (total, losses), grads = jax.jit(
+        lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p)
+    )(params)
+    assert np.isfinite(float(total)), {k: float(v) for k, v in losses.items()}
+    for k in ("s_loss_cls", "r_loss_cls", "loss_bbox", "loss_iou", "s_loss_dice"):
+        assert k in losses and np.isfinite(float(losses[k])), k
+    assert "d0.s_loss_cls" in losses  # aux layer
+    gn = sum(
+        float(jnp.abs(g).sum())
+        for g in jax.tree_util.tree_leaves(grads["params"]["backbone"])
+    )
+    assert gn > 0
+
+
+def test_postprocess(tiny_psgtr):
+    rng = np.random.default_rng(2)
+    batch = _batch_with_boxes(rng)
+    params = jax.jit(tiny_psgtr.init)(jax.random.PRNGKey(0), batch["image"])
+    out = jax.jit(tiny_psgtr.apply)(params, batch["image"])
+    pred = jax.jit(
+        lambda o: psgtr_postprocess(o, 0, num_things=4)
+    )({k: v for k, v in out.items() if k != "layers"})
+    Q = 12
+    assert pred.r_dists.shape == (Q, 6)
+    assert pred.masks.shape[0] == 2 * Q
+    assert pred.pan_seg.shape == out["sub_seg"].shape[-2:]
+    scores = np.asarray(pred.r_scores)
+    assert (np.diff(scores) <= 1e-6).all()

@@ -32,25 +32,20 @@ def parse_args():
 
 
 def load_params(model, ckpt_dir, init_fn):
-    variables = init_fn()
     if not ckpt_dir:
         logging.warning("no checkpoint given: evaluating RANDOM weights")
-        return variables
-    import jax
+        return init_fn()
     import orbax.checkpoint as ocp
 
     mgr = ocp.CheckpointManager(os.path.abspath(os.path.join(ckpt_dir, "ckpts")))
     step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}/ckpts")
-    from pairnet_tpu.train.optim import build_optimizer
-    from pairnet_tpu.train.trainer import TrainState
-
-    tx = build_optimizer(variables["params"])
-    state = TrainState.create(variables, tx, 1)
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(jax.device_get(state)))
+    # target-free restore: the optimizer state layout differs between train
+    # and eval builds, so we take the raw tree and keep only the variables
+    raw = mgr.restore(step, args=ocp.args.StandardRestore())
     logging.info("loaded checkpoint step %s from %s", step, ckpt_dir)
-    return restored.params
+    return raw["params"]
 
 
 def main():
