@@ -19,7 +19,9 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pairnet_jax_cache")
+if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+    # CPU AOT cache reload is broken in this image (SIGILL/hangs); TPU only
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pairnet_jax_cache")
 
 REFERENCE_GPU_IMG_PER_S = 10.0  # documented estimate, see module docstring
 

@@ -15,7 +15,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pairnet_jax_cache")
+if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+    # CPU AOT cache reload is broken in this image (SIGILL/hangs); TPU only
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pairnet_jax_cache")
 
 
 def parse_args():
