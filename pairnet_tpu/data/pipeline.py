@@ -205,3 +205,52 @@ class Loader:
             batch = collate(samples)
             batch["batch_valid"] = np.arange(b) < len(idxs)
             yield batch
+
+
+def to_twostage_batch(
+    sample: dict,
+    max_pairs: int,
+    train: bool,
+    rng: np.random.Generator | None = None,
+    relation_map: np.ndarray | None = None,
+) -> dict:
+    """Augment a preprocessed sample with two-stage relation-head fields.
+
+    predcls/sgcls: detections are the GT boxes; labels become 1-based
+    (0 = background). Pair sampling follows the reference's RelationSampler
+    (see models/heads/twostage/core.py).
+    """
+    from pairnet_tpu.models.heads.twostage.core import (
+        all_test_pairs,
+        sample_train_pairs,
+    )
+
+    rng = rng or np.random.default_rng()
+    n_valid = int(sample["gt_valid"].sum())
+    G = sample["gt_valid"].shape[0]
+    out = dict(sample)
+    out["det_boxes"] = sample["gt_boxes"]
+    out["det_labels"] = np.where(
+        sample["gt_valid"], sample["gt_labels"] + 1, 0
+    ).astype(np.int32)
+    out["det_valid"] = sample["gt_valid"]
+
+    if relation_map is None:
+        relation_map = np.zeros((G, G), np.int64)
+        rels = sample["gt_rels"][sample["rel_valid"]]
+        for s, o, p in rels:
+            relation_map[s, o] = p
+
+    if train:
+        pairs, labels, valid = sample_train_pairs(
+            relation_map, n_valid, max_pairs, rng=rng
+        )
+    else:
+        pairs, valid = all_test_pairs(n_valid, G)
+        pairs = pairs[:max_pairs]
+        valid = valid[:max_pairs]
+        labels = relation_map[pairs[:, 0], pairs[:, 1]].astype(np.int32)
+    out["pairs"] = pairs
+    out["pair_labels"] = labels.astype(np.int32)
+    out["pair_valid"] = valid
+    return out

@@ -1,0 +1,134 @@
+"""Two-stage relation heads: MOTIFS / IMP / GPS-Net smoke tests (predcls)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pairnet_tpu.data.pipeline import collate, to_twostage_batch
+from pairnet_tpu.models.backbones.resnet import ResNet
+from pairnet_tpu.models.frameworks.twostage import SceneGraphTwoStage
+from pairnet_tpu.models.heads.twostage.core import (
+    FrequencyBias,
+    all_test_pairs,
+    sample_train_pairs,
+)
+from pairnet_tpu.models.heads.twostage.heads import (
+    GPSHead,
+    IMPHead,
+    MotifHead,
+    twostage_loss,
+    twostage_postprocess,
+)
+from tests.test_pairnet_model import _fake_batch
+
+NUM_CLASSES = 8  # 7 fg + bg
+NUM_PREDICATES = 6  # 5 + bg
+
+
+def _twostage_batch(rng, max_pairs=12, train=True):
+    raw = _fake_batch(rng)
+    B = raw["image"].shape[0]
+    samples = []
+    for b in range(B):
+        s = {k: np.asarray(v[b]) for k, v in raw.items()}
+        s["gt_boxes"] = np.zeros((s["gt_labels"].shape[0], 4), np.float32)
+        masks = s["gt_masks"]
+        for g in range(masks.shape[0]):
+            ys, xs = np.nonzero(masks[g])
+            if len(ys):
+                s["gt_boxes"][g] = [xs.min() * 4, ys.min() * 4,
+                                    (xs.max() + 1) * 4, (ys.max() + 1) * 4]
+        s["image_shape"] = np.asarray([64, 64], np.int32)
+        samples.append(
+            to_twostage_batch(s, max_pairs, train, np.random.default_rng(b))
+        )
+    return {k: jnp.asarray(v) for k, v in collate(samples).items()}
+
+
+def _head_kwargs():
+    return dict(
+        num_classes=NUM_CLASSES,
+        num_predicates=NUM_PREDICATES,
+        mode="predcls",
+        hidden_dim=32,
+        roi_dim=64,
+        context_pooling_dim=64,
+        embed_dim=16,
+        in_channels=32,
+    )
+
+
+@pytest.mark.parametrize("head_cls", [MotifHead, IMPHead, GPSHead])
+def test_forward_loss_grad(head_cls):
+    rng = np.random.default_rng(0)
+    batch = _twostage_batch(rng)
+    model = SceneGraphTwoStage(
+        backbone=ResNet(depth=50, base_width=8),
+        relation_head=head_cls(**_head_kwargs()),
+        neck_channels=32,
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = jax.jit(lambda v, b: model.apply(v, b))(variables, batch)
+    B, N = batch["det_labels"].shape
+    P = batch["pairs"].shape[1]
+    assert out["refine_scores"].shape == (B, N, NUM_CLASSES)
+    assert out["rel_scores"].shape == (B, P, NUM_PREDICATES)
+    assert out["obj_preds"].shape == (B, N)
+
+    def loss_fn(v):
+        o = model.apply(v, batch)
+        losses = twostage_loss(o, batch)
+        return losses["loss_total"], losses
+
+    (total, losses), grads = jax.jit(
+        lambda v: jax.value_and_grad(loss_fn, has_aux=True)(v)
+    )(variables)
+    assert np.isfinite(float(total)), {k: float(v) for k, v in losses.items()}
+    head_grads = jax.tree_util.tree_leaves(grads["params"]["relation_head"])
+    assert sum(float(jnp.abs(g).sum()) for g in head_grads) > 0
+
+
+def test_pair_samplers():
+    relmap = np.zeros((6, 6), np.int64)
+    relmap[0, 1] = 3
+    relmap[2, 3] = 1
+    pairs, labels, valid = sample_train_pairs(
+        relmap, n_valid=4, max_pairs=16, rng=np.random.default_rng(0)
+    )
+    got = {(int(s), int(o), int(l)) for (s, o), l, v in zip(pairs, labels, valid) if v and l > 0}
+    assert got == {(0, 1, 3), (2, 3, 1)}
+    # negatives have label 0 and valid endpoints < 4
+    negs = [(s, o) for (s, o), l, v in zip(pairs, labels, valid) if v and l == 0]
+    assert all(s < 4 and o < 4 and s != o for s, o in negs)
+    assert len(negs) > 0
+
+    pairs, valid = all_test_pairs(3, 5)
+    assert pairs.shape == (20, 2)
+    assert valid.sum() == 3 * 2  # ordered pairs among 3 valid
+
+
+def test_frequency_bias():
+    stats = np.zeros((7, 7, 6), np.float32)
+    stats[2, 3, 4] = 1.5
+    fb = FrequencyBias(7, 6, statistics=stats)
+    params = fb.init(jax.random.PRNGKey(0), jnp.zeros((1, 2), jnp.int32))
+    out = fb.apply(params, jnp.asarray([[3, 4]]))  # labels 1-based
+    assert out.shape == (1, 6)
+    assert float(out[0, 4]) == pytest.approx(1.5)
+
+
+def test_postprocess_ranking():
+    rng = np.random.default_rng(1)
+    batch = _twostage_batch(rng, train=False)
+    B, P = batch["pair_valid"].shape
+    out = {
+        "rel_scores": rng.normal(size=(B, P, NUM_PREDICATES)).astype(np.float32),
+        "refine_scores": rng.normal(size=(B, 6, NUM_CLASSES)).astype(np.float32),
+        "obj_preds": rng.integers(1, NUM_CLASSES, size=(B, 6)).astype(np.int32),
+    }
+    res = twostage_postprocess(out, batch, 0)
+    assert res["rel_pair_idxes"].shape[1] == 2
+    assert res["rel_dists"].shape[1] == NUM_PREDICATES
+    # bg column zeroed
+    assert (res["rel_dists"][:, 0] == 0).all()
