@@ -40,17 +40,34 @@ def main():
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
     )
+    # production inference runs bf16 (matmul accumulation stays f32 via
+    # preferred_element_type; softmax/normalization sites upcast explicitly)
+    dtype = dict(bf16=jnp.bfloat16, f32=jnp.float32)[
+        os.environ.get("BENCH_DTYPE", "bf16")
+    ]
+    if dtype != jnp.float32:
+        cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
+        variables = jax.tree_util.tree_map(cast, variables)
+        img = img.astype(dtype)
     fwd = jax.jit(lambda v, x: model.apply(v, x))
 
-    out = fwd(variables, img)
-    jax.block_until_ready(out)
+    # CHAINED iterations: each forward consumes the previous output, so the
+    # tunneled runtime cannot elide or overlap repeated executions (it
+    # returns fantasy numbers for independent identical calls)
+    def chained(v, x):
+        out = fwd(v, x)
+        return x + (1e-12 * out["rel"].mean()).astype(x.dtype), out
 
-    # timed steady-state
+    chained = jax.jit(chained)
+    x, out = chained(variables, img)
+    jax.block_until_ready((x, out))
+
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    x = img
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = fwd(variables, img)
-    jax.block_until_ready(out)
+        x, out = chained(variables, x)
+    jax.block_until_ready(x)
     dt = time.perf_counter() - t0
     img_per_s = B * n_iters / dt
 

@@ -254,3 +254,42 @@ def to_twostage_batch(
     out["pair_labels"] = labels.astype(np.int32)
     out["pair_valid"] = valid
     return out
+
+
+def rel_random_crop(
+    img: np.ndarray,
+    masks: np.ndarray,
+    labels: np.ndarray,
+    rels: np.ndarray,
+    crop_hw: tuple[int, int],
+    rng: np.random.Generator,
+):
+    """Relation-aware random crop (ref: pairnet/datasets/pipelines/
+    rel_randomcrop.py:30-89): crop the image, drop instances whose mask
+    vanishes, RE-INDEX surviving relations by the prefix sum of kept
+    instances, and return None (skip sample) if no triplet survives.
+
+    img (H, W, 3) uint8; masks (N, H, W) bool; rels (R, 3) predicate 1-based.
+    """
+    ch, cw = crop_hw
+    H, W = img.shape[:2]
+    off_y = int(rng.integers(0, max(H - ch, 0) + 1))
+    off_x = int(rng.integers(0, max(W - cw, 0) + 1))
+    img_c = img[off_y : off_y + ch, off_x : off_x + cw]
+    masks_c = masks[:, off_y : off_y + ch, off_x : off_x + cw]
+
+    valid = masks_c.any(axis=(1, 2))
+    new_index = np.cumsum(valid) - 1  # prefix-sum re-indexing
+    rels_left = [
+        [int(new_index[s]), int(new_index[o]), int(p)]
+        for s, o, p in rels
+        if valid[s] and valid[o]
+    ]
+    if not rels_left:
+        return None
+    return (
+        img_c,
+        masks_c[valid],
+        labels[valid],
+        np.asarray(rels_left, np.int32),
+    )

@@ -169,9 +169,26 @@ class Trainer:
     def train_epoch(self, loader, epoch: int) -> dict:
         t0 = time.time()
         last = {}
+        # observability knobs (ref SURVEY.md §5.1-5.2: the reference has
+        # none beyond iter timers; we expose a profiler trace + NaN guard)
+        profile_dir = os.environ.get("PAIRNET_PROFILE_DIR")
+        nan_check = bool(os.environ.get("PAIRNET_DEBUG_NANS"))
         for i, batch in enumerate(loader):
+            if profile_dir and epoch == 0 and i == 2:
+                jax.profiler.start_trace(profile_dir)
             batch = shard_batch(self.mesh, batch)
             self.state, metrics = self._step_fn(self.state, batch)
+            if profile_dir and epoch == 0 and i == 4:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", profile_dir)
+            if nan_check:
+                m = jax.device_get(metrics)
+                bad = {k: float(v) for k, v in m.items() if not float(v) == float(v)}
+                if bad:
+                    raise FloatingPointError(
+                        f"NaN losses at epoch {epoch} iter {i}: {bad}"
+                    )
             if (i + 1) % self.log_interval == 0 or i == 0:
                 metrics = jax.device_get(metrics)
                 last = {k: float(v) for k, v in metrics.items()}

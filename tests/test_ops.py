@@ -156,3 +156,17 @@ def test_batched_nms_separates_classes():
     # different classes -> both kept
     k2 = np.asarray(batched_nms(boxes, scores, jnp.asarray([0, 1]), 0.5))
     assert k2.tolist() == [True, True]
+
+
+def test_ms_deform_attn_patch_matches_rows():
+    """The fast 2x2-patch gather path is exact vs the row-gather path."""
+    rng = np.random.default_rng(7)
+    shapes = ((6, 8), (3, 4), (2, 2))
+    S = sum(h * w for h, w in shapes)
+    B, H, D, Q, P = 2, 2, 4, 9, 3
+    value = rng.normal(size=(B, S, H, D)).astype(np.float32)
+    locs = rng.uniform(-0.2, 1.2, size=(B, Q, H, len(shapes), P, 2)).astype(np.float32)
+    w = rng.uniform(size=(B, Q, H, len(shapes), P)).astype(np.float32)
+    a = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w), impl="rows")
+    b = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w), impl="patch")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
