@@ -56,7 +56,10 @@ def main():
     # returns fantasy numbers for independent identical calls)
     def chained(v, x):
         out = fwd(v, x)
-        return x + (1e-12 * out["rel"].mean()).astype(x.dtype), out
+        # perturbation must survive bf16 rounding AND change the content —
+        # the runtime memoizes executions by argument content
+        x = jnp.roll(x, 1, axis=2) + (0.01 * out["rel"].mean()).astype(x.dtype)
+        return x, out
 
     chained = jax.jit(chained)
     x, out = chained(variables, img)
