@@ -54,10 +54,16 @@ class PipelineConfig:
 
 
 def _resize_image(img: np.ndarray, scale: float) -> np.ndarray:
-    from PIL import Image
-
     h, w = img.shape[:2]
     nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    from pairnet_tpu import native
+
+    if native.available():
+        # native bilinear matches mmcv/cv2 (no antialias) — the reference's
+        # resize semantics; PIL antialiases on downscale
+        return native.resize_bilinear(img, nh, nw)
+    from PIL import Image
+
     return np.asarray(
         Image.fromarray(img).resize((nw, nh), Image.BILINEAR), np.uint8
     )
