@@ -51,6 +51,10 @@ class PairNetHead(nn.Module):
     num_feat_levels: int = 3
     pixel_decoder_layers: int = 6
     relation_ffn_drop: float = 0.1
+    # CrossHeadDirect ablation (ref: pairnet/models/relation_heads/
+    # pairnet_direct.py:22-120): pair features classified directly through a
+    # pair-embed MLP, no Relation Fusion decoder
+    direct: bool = False
 
     def setup(self):
         self.pixel_decoder = MSDeformAttnPixelDecoder(
@@ -81,6 +85,8 @@ class PairNetHead(nn.Module):
         self.obj_query_update = MLP(C, C, 3, name="obj_query_update")
         self.rel_cls_embed = nn.Dense(self.num_relations, name="rel_cls_embed")
         self.update_importance = create_mapper(self.mapper)
+        if self.direct:
+            self.pair_embed = MLP(C, C, 3, name="pair_embed")
         self.relation_layers = [
             DecoderLayer(
                 C,
@@ -129,20 +135,25 @@ class PairNetHead(nn.Module):
         obj_query_feat = take(queries, obj_pos)
         pair_feat = jnp.concatenate([sub_query_feat, obj_query_feat], axis=1)
 
-        # --- Relation Fusion ---
-        rel_query = jnp.broadcast_to(self.rel_query_feat[None], (B, K, C))
-        rel_query_pos = self.rel_query_embed[None]
-        key_pos = self.rel_query_embed2[None]
-        for layer in self.relation_layers:
-            rel_query = layer(
-                rel_query,
-                rel_query_pos,
-                pair_feat,
-                key_pos,
-                None,
-                deterministic=deterministic,
-            )
-        rel_preds = self.rel_cls_embed(rel_query)  # (B, K, R)
+        if self.direct:
+            # CrossHeadDirect ablation: classify pair features directly
+            pair_cat = jnp.concatenate([sub_query_feat, obj_query_feat], axis=-1)
+            rel_preds = self.rel_cls_embed(self.pair_embed(pair_cat))
+        else:
+            # --- Relation Fusion ---
+            rel_query = jnp.broadcast_to(self.rel_query_feat[None], (B, K, C))
+            rel_query_pos = self.rel_query_embed[None]
+            key_pos = self.rel_query_embed2[None]
+            for layer in self.relation_layers:
+                rel_query = layer(
+                    rel_query,
+                    rel_query_pos,
+                    pair_feat,
+                    key_pos,
+                    None,
+                    deterministic=deterministic,
+                )
+            rel_preds = self.rel_cls_embed(rel_query)  # (B, K, R)
 
         sg = jax.lax.stop_gradient
         sub_cls_preds = take(sg(cls_pred), sub_pos)
