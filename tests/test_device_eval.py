@@ -1,0 +1,66 @@
+"""Device evaluator parity vs the numpy reference recall engine."""
+
+import numpy as np
+
+from pairnet_tpu.evaluation.device_eval import evaluate_device
+from pairnet_tpu.evaluation.sgg_eval import SGGroundTruth, SGPrediction, sgg_evaluate
+
+
+def _random_case(rng, G=6, K=20, P=5, H=24, W=24):
+    n_valid = int(rng.integers(2, G + 1))
+    labels = rng.integers(1, 6, size=G).astype(np.int64)
+    masks = np.zeros((G, H, W), bool)
+    for g in range(n_valid):
+        y, x = rng.integers(0, H - 8), rng.integers(0, W - 8)
+        masks[g, y : y + 8, x : x + 8] = True
+    n_rel = int(rng.integers(1, 4))
+    rels = np.stack([
+        rng.integers(0, n_valid, n_rel),
+        rng.integers(0, n_valid, n_rel),
+        rng.integers(1, P + 1, n_rel),
+    ], -1).astype(np.int64)
+    gt = SGGroundTruth(labels=labels, rels=rels, masks=masks)
+
+    # predictions: first few reproduce GT (with noise), rest random
+    pred_masks = np.zeros((2 * K, H, W), bool)
+    pred_labels = np.zeros(2 * K, np.int64)
+    dists = np.zeros((K, P + 1), np.float32)
+    for k in range(K):
+        if k < n_rel and rng.random() < 0.7:
+            s, o, p = rels[k]
+            pred_masks[k] = masks[s]
+            pred_masks[k + K] = masks[o]
+            pred_labels[k] = labels[s]
+            pred_labels[k + K] = labels[o]
+            dists[k, p] = 1.0
+        else:
+            y, x = rng.integers(0, H - 6), rng.integers(0, W - 6)
+            pred_masks[k, y : y + 6, x : x + 6] = True
+            pred_masks[k + K, : 6, : 6] = True
+            pred_labels[k] = rng.integers(1, 6)
+            pred_labels[k + K] = rng.integers(1, 6)
+            dists[k, rng.integers(1, P + 1)] = 1.0
+    pairs = np.stack([np.arange(K), np.arange(K) + K], -1)
+    pred = SGPrediction(
+        labels=pred_labels, rel_pair_idxes=pairs, rel_dists=dists,
+        masks=pred_masks,
+    )
+    return gt, pred
+
+
+def test_device_matches_numpy_engine():
+    rng = np.random.default_rng(0)
+    cases = [_random_case(rng) for _ in range(6)]
+    gts = [c[0] for c in cases]
+    preds = [c[1] for c in cases]
+
+    ref = sgg_evaluate(gts, preds, mode="sgdet", num_predicates=5)
+    dev = evaluate_device(
+        [dict(labels=g.labels, rels=g.rels, masks=g.masks) for g in gts],
+        [dict(labels=p.labels, rel_pair_idxes=p.rel_pair_idxes,
+              rel_dists=p.rel_dists, masks=p.masks) for p in preds],
+        num_predicates=5,
+    )
+    for k in (20, 50, 100):
+        assert abs(ref[f"sgdet_recall_R@{k}"] - dev[f"R@{k}"]) < 1e-6, k
+        assert abs(ref[f"sgdet_mean_recall_mR@{k}"] - dev[f"mR@{k}"]) < 1e-6, k
