@@ -51,26 +51,27 @@ def main():
         img = img.astype(dtype)
     fwd = jax.jit(lambda v, x: model.apply(v, x))
 
-    # CHAINED iterations: each forward consumes the previous output, so the
-    # tunneled runtime cannot elide or overlap repeated executions (it
-    # returns fantasy numbers for independent identical calls)
+    # Timing methodology for the tunneled (axon) runtime, validated against
+    # known-FLOP matmuls (~100 TFLOP/s measured):
+    # 1. CHAIN iterations (each forward consumes the previous output) — the
+    #    runtime memoizes repeated identical executions by content.
+    # 2. End with a SCALAR VALUE FETCH — block_until_ready does NOT block on
+    #    this backend; only device->host reads wait for execution.
     def chained(v, x):
         out = fwd(v, x)
-        # perturbation must survive bf16 rounding AND change the content —
-        # the runtime memoizes executions by argument content
         x = jnp.roll(x, 1, axis=2) + (0.01 * out["rel"].mean()).astype(x.dtype)
         return x, out
 
     chained = jax.jit(chained)
     x, out = chained(variables, img)
-    jax.block_until_ready((x, out))
+    _ = float(out["rel"][0, 0, 0].astype(jnp.float32))  # warm: compile + run
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "6"))
     x = img
     t0 = time.perf_counter()
     for _ in range(n_iters):
         x, out = chained(variables, x)
-    jax.block_until_ready(x)
+    _ = float(out["rel"][0, 0, 0].astype(jnp.float32))  # forces completion
     dt = time.perf_counter() - t0
     img_per_s = B * n_iters / dt
 

@@ -1,0 +1,250 @@
+"""Panoptic FPN detector (inference path) for two-stage sgdet.
+
+Counterpart of the mmdet PanopticFPN stack the reference wraps
+(ref: pairnet/models/frameworks/sg_panoptic_fpn.py:57-142, 166-202 and
+configs/motifs/panoptic_fpn_r50_fpn_1x_*.py): RPN -> RoI box head -> NMS ->
+FCN mask head -> semantic head -> heuristic panoptic fusion -> per-segment
+boxes/labels for the relation head.
+
+The reference FREEZES the whole detector during relation training
+(freeze_modules in every two-stage config) and runs it in eval mode even in
+forward_train (ref: sg_panoptic_fpn.py:166-202), so this implementation is
+inference-only: weights come from converted COCO checkpoints. Everything is
+fixed-shape: top-k proposals, padded detections, masked NMS.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pairnet_tpu.config.registry import MODELS
+from pairnet_tpu.models.necks.fpn import FPN
+from pairnet_tpu.ops.boxes import cxcywh_to_xyxy
+from pairnet_tpu.ops.nms import batched_nms, nms
+from pairnet_tpu.ops.roi_align import multilevel_roi_align
+
+
+def make_anchors(h: int, w: int, stride: int, scales=(8,), ratios=(0.5, 1.0, 2.0)):
+    """(h*w*A, 4) xyxy anchors, mmdet AnchorGenerator semantics."""
+    base = []
+    for s in scales:
+        for r in ratios:
+            size = s * stride
+            aw = size * (1.0 / r) ** 0.5
+            ah = size * r**0.5
+            base.append([-aw / 2, -ah / 2, aw / 2, ah / 2])
+    base = jnp.asarray(base)  # (A, 4)
+    ys = (jnp.arange(h) * stride).astype(jnp.float32)
+    xs = (jnp.arange(w) * stride).astype(jnp.float32)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    shifts = jnp.stack([xx, yy, xx, yy], -1).reshape(-1, 1, 4)
+    return (shifts + base[None]).reshape(-1, 4)
+
+
+def delta2bbox(anchors, deltas, means=(0, 0, 0, 0), stds=(1, 1, 1, 1), max_hw=None):
+    """mmdet DeltaXYWHBBoxCoder.decode."""
+    deltas = deltas * jnp.asarray(stds) + jnp.asarray(means)
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax = (anchors[:, 0] + anchors[:, 2]) / 2
+    ay = (anchors[:, 1] + anchors[:, 3]) / 2
+    dw = jnp.clip(deltas[:, 2], -4.0, 4.0)
+    dh = jnp.clip(deltas[:, 3], -4.0, 4.0)
+    cx = ax + deltas[:, 0] * aw
+    cy = ay + deltas[:, 1] * ah
+    w = aw * jnp.exp(dw)
+    h = ah * jnp.exp(dh)
+    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    if max_hw is not None:
+        boxes = jnp.clip(
+            boxes,
+            jnp.zeros(4),
+            jnp.asarray([max_hw[1], max_hw[0], max_hw[1], max_hw[0]], jnp.float32),
+        )
+    return boxes
+
+
+class RPNHead(nn.Module):
+    num_anchors: int = 3
+
+    @nn.compact
+    def __call__(self, feats):
+        outs = []
+        conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], name="rpn_conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), name="rpn_cls")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), name="rpn_reg")
+        for f in feats:
+            x = nn.relu(conv(f))
+            outs.append((cls(x), reg(x)))
+        return outs
+
+
+class BBoxHead(nn.Module):
+    """mmdet Shared2FCBBoxHead (ref: pairnet/models/roi_heads/bbox_heads/
+    sg_bbox_head.py keeps score dists)."""
+
+    num_classes: int = 80
+
+    @nn.compact
+    def __call__(self, roi_feats):  # (N, 7, 7, C)
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = nn.relu(nn.Dense(1024, name="shared_fc1")(x))
+        x = nn.relu(nn.Dense(1024, name="shared_fc2")(x))
+        cls = nn.Dense(self.num_classes + 1, name="fc_cls")(x)
+        reg = nn.Dense(self.num_classes * 4, name="fc_reg")(x)
+        return cls, reg
+
+
+class MaskHead(nn.Module):
+    """FCN mask head: 4 convs + deconv -> per-class 28x28 masks."""
+
+    num_classes: int = 80
+
+    @nn.compact
+    def __call__(self, roi_feats):  # (N, 14, 14, C)
+        x = roi_feats
+        for i in range(4):
+            x = nn.relu(
+                nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], name=f"conv{i}")(x)
+            )
+        x = nn.relu(
+            nn.ConvTranspose(256, (2, 2), strides=(2, 2), name="upsample")(x)
+        )
+        return nn.Conv(self.num_classes, (1, 1), name="conv_logits")(x)
+
+
+class SemanticHead(nn.Module):
+    """Panoptic FPN semantic branch: upsample+sum FPN levels -> stuff logits."""
+
+    num_stuff: int = 53
+
+    @nn.compact
+    def __call__(self, feats):
+        target = feats[0].shape[1:3]
+        acc = None
+        for i, f in enumerate(feats[:4]):
+            x = f
+            for j in range(max(1, i)):
+                x = nn.relu(
+                    nn.Conv(128, (3, 3), padding=[(1, 1), (1, 1)],
+                            name=f"lvl{i}_conv{j}")(x)
+                )
+                if x.shape[1] < target[0]:
+                    x = jax.image.resize(
+                        x, (x.shape[0], min(x.shape[1] * 2, target[0]),
+                            min(x.shape[2] * 2, target[1]), x.shape[-1]),
+                        "linear",
+                    )
+            if x.shape[1:3] != tuple(target):
+                x = jax.image.resize(x, (x.shape[0], *target, x.shape[-1]), "linear")
+            acc = x if acc is None else acc + x
+        return nn.Conv(self.num_stuff + 1, (1, 1), name="sem_logits")(acc)
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray  # (B, N, 4)
+    labels: jnp.ndarray  # (B, N) 1-based (0 invalid)
+    scores: jnp.ndarray  # (B, N)
+    dists: jnp.ndarray  # (B, N, C+1)
+    valid: jnp.ndarray  # (B, N)
+
+
+@MODELS.register()
+class PanopticFPN(nn.Module):
+    backbone: nn.Module
+    num_things: int = 80
+    num_stuff: int = 53
+    num_proposals: int = 256
+    max_dets: int = 64
+    score_thr: float = 0.3
+    nms_iou: float = 0.5
+    strides: tuple = (4, 8, 16, 32, 64)
+
+    def setup(self):
+        self.neck = FPN(out_channels=256, num_outs=5, name="neck")
+        self.rpn_head = RPNHead(name="rpn_head")
+        self.bbox_head = BBoxHead(self.num_things, name="bbox_head")
+        self.mask_head = MaskHead(self.num_things, name="mask_head")
+        self.semantic_head = SemanticHead(self.num_stuff, name="semantic_head")
+
+    def __call__(self, images, image_shape):
+        """-> (Detections, semantic logits (B, H/4, W/4, S+1))."""
+        feats = self.backbone(images)
+        fpn = self.neck(feats)
+        rpn_outs = self.rpn_head(fpn)
+
+        B = images.shape[0]
+        all_scores, all_boxes = [], []
+        for lvl, ((cls, reg), stride) in enumerate(zip(rpn_outs, self.strides)):
+            h, w = cls.shape[1], cls.shape[2]
+            anchors = make_anchors(h, w, stride)
+            scores = cls.reshape(B, -1)
+            deltas = reg.reshape(B, -1, 4)
+            # per-level pre-NMS top-k keeps shapes bounded
+            k = min(1000, scores.shape[1])
+            top_s, top_i = jax.lax.top_k(scores, k)
+            take = jax.vmap(lambda a, i: a[i])
+            boxes = jax.vmap(
+                lambda d, a: delta2bbox(a, d)
+            )(take(deltas, top_i), jnp.broadcast_to(anchors[None], (B, *anchors.shape))[
+                jnp.arange(B)[:, None], top_i
+            ])
+            all_scores.append(top_s)
+            all_boxes.append(boxes)
+        scores = jnp.concatenate(all_scores, 1)
+        boxes = jnp.concatenate(all_boxes, 1)
+
+        def per_image(s, b, hw):
+            keep = nms(b, jax.nn.sigmoid(s), 0.7)
+            ranked = jnp.argsort(-jnp.where(keep, s, -jnp.inf))[: self.num_proposals]
+            return b[ranked], keep[ranked]
+
+        props, prop_valid = jax.vmap(per_image)(
+            scores, boxes, image_shape
+        )  # (B, P, 4)
+
+        # RoI classification (strides 4-32 levels)
+        def roi_stage(fpn_b, rois):
+            return multilevel_roi_align(
+                [fpn_b[i] for i in range(4)], self.strides[:4], rois, 7
+            )
+
+        cls_list, box_list = [], []
+        for b in range(B):
+            roi_feats = roi_stage([f[b] for f in fpn], props[b])
+            cls, reg = self.bbox_head(roi_feats)
+            cls_list.append(cls)
+            box_list.append(reg)
+        cls = jnp.stack(cls_list)  # (B, P, C+1)
+        reg = jnp.stack(box_list)  # (B, P, C*4)
+
+        def decode_dets(cls_b, reg_b, props_b, pvalid, hw):
+            probs = jax.nn.softmax(cls_b.astype(jnp.float32), -1)
+            fg = probs[:, :-1]  # (P, C)
+            label = fg.argmax(-1)
+            score = fg.max(-1)
+            deltas = reg_b.reshape(-1, self.num_things, 4)[
+                jnp.arange(reg_b.shape[0]), label
+            ]
+            det_boxes = delta2bbox(
+                props_b, deltas, stds=(0.1, 0.1, 0.2, 0.2), max_hw=hw
+            )
+            ok = pvalid & (score > self.score_thr)
+            keep = batched_nms(det_boxes, score, label, self.nms_iou, ok)
+            ranked = jnp.argsort(-jnp.where(keep, score, -jnp.inf))[: self.max_dets]
+            kmask = keep[ranked]
+            return (
+                det_boxes[ranked],
+                jnp.where(kmask, label[ranked] + 1, 0),
+                jnp.where(kmask, score[ranked], 0.0),
+                probs[ranked],
+                kmask,
+            )
+
+        dets = jax.vmap(decode_dets)(cls, reg, props, prop_valid, image_shape)
+        sem = self.semantic_head(fpn)
+        return Detections(*dets), sem
