@@ -218,3 +218,83 @@ def all_test_pairs(n_valid: int, max_n: int) -> tuple[np.ndarray, np.ndarray]:
                 valid[k] = i < n_valid and j < n_valid
                 k += 1
     return pairs, valid
+
+
+def _np_box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    ar = lambda x: np.clip(x[:, 2] - x[:, 0], 0, None) * np.clip(
+        x[:, 3] - x[:, 1], 0, None
+    )
+    union = ar(a)[:, None] + ar(b)[None] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def detect_relsample(
+    det_boxes: np.ndarray,  # (N, 4) detections (image pixels)
+    det_labels: np.ndarray,  # (N,) 1-based; 0 = bg/invalid
+    gt_boxes: np.ndarray,  # (G, 4)
+    gt_labels: np.ndarray,  # (G,) 1-based
+    relation_map: np.ndarray,  # (G, G) predicate (1-based) or 0
+    max_pairs: int,
+    pos_iou_thr: float = 0.5,
+    pos_fraction: float = 0.25,
+    require_overlap: bool = False,
+    rng: np.random.Generator | None = None,
+):
+    """sgdet-mode relation sampling (ref: sampling.py:187-271 + the MOTIFS
+    fg/bg sampler): detections match GT instances of the SAME label with
+    IoU > pos_iou_thr; GT relations map to every matched detection pair
+    (foreground), remaining non-bg detection pairs are background. Returns
+    fixed-shape (pairs, labels, valid)."""
+    rng = rng or np.random.default_rng()
+    N = det_boxes.shape[0]
+    ious = _np_box_iou(gt_boxes, det_boxes)  # (G, N)
+    is_match = (gt_labels[:, None] == det_labels[None]) & (ious > pos_iou_thr)
+    fg_det = det_labels > 0
+
+    pos_pairs, pos_labels = [], []
+    gs, go = np.nonzero(relation_map)
+    for g_s, g_o in zip(gs, go):
+        p = relation_map[g_s, g_o]
+        ds = np.nonzero(is_match[g_s])[0]
+        do = np.nonzero(is_match[g_o])[0]
+        for i in ds:
+            for j in do:
+                if i != j:
+                    pos_pairs.append((i, j))
+                    pos_labels.append(p)
+
+    num_pos_max = int(max_pairs * pos_fraction)
+    if len(pos_pairs) > num_pos_max:
+        sel = rng.permutation(len(pos_pairs))[:num_pos_max]
+        pos_pairs = [pos_pairs[k] for k in sel]
+        pos_labels = [pos_labels[k] for k in sel]
+
+    possible = np.ones((N, N), bool)
+    np.fill_diagonal(possible, False)
+    possible[~fg_det] = False
+    possible[:, ~fg_det] = False
+    if require_overlap:
+        self_iou = _np_box_iou(det_boxes, det_boxes)
+        possible &= (self_iou > 0) & (self_iou < 1)
+    for s, o in pos_pairs:
+        possible[s, o] = False
+    ns, no = np.nonzero(possible)
+    n_neg = min(len(ns), max_pairs - len(pos_pairs))
+    if len(ns) > n_neg:
+        sel = rng.permutation(len(ns))[:n_neg]
+        ns, no = ns[sel], no[sel]
+
+    pairs = np.zeros((max_pairs, 2), np.int32)
+    labels = np.zeros((max_pairs,), np.int32)
+    valid = np.zeros((max_pairs,), bool)
+    k = len(pos_pairs)
+    if k:
+        pairs[:k] = np.asarray(pos_pairs, np.int32)
+        labels[:k] = np.asarray(pos_labels, np.int32)
+    pairs[k : k + len(ns), 0], pairs[k : k + len(ns), 1] = ns, no
+    valid[: k + len(ns)] = True
+    return pairs, labels, valid

@@ -132,3 +132,28 @@ def test_postprocess_ranking():
     assert res["rel_dists"].shape[1] == NUM_PREDICATES
     # bg column zeroed
     assert (res["rel_dists"][:, 0] == 0).all()
+
+
+def test_detect_relsample():
+    from pairnet_tpu.models.heads.twostage.core import detect_relsample
+
+    gt_boxes = np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    gt_labels = np.asarray([3, 5])
+    relmap = np.zeros((2, 2), np.int64)
+    relmap[0, 1] = 4
+    # det 0 matches gt0 (same label high IoU); det 1 matches gt1;
+    # det 2 wrong label; det 3 is background (label 0)
+    det_boxes = np.asarray(
+        [[1, 1, 10, 10], [20, 20, 29, 29], [0, 0, 10, 10], [50, 50, 60, 60]],
+        np.float32,
+    )
+    det_labels = np.asarray([3, 5, 7, 0])
+    pairs, labels, valid = detect_relsample(
+        det_boxes, det_labels, gt_boxes, gt_labels, relmap,
+        max_pairs=16, rng=np.random.default_rng(0),
+    )
+    fg = {(int(s), int(o), int(l)) for (s, o), l, v in zip(pairs, labels, valid) if v and l > 0}
+    assert fg == {(0, 1, 4)}
+    # background pairs exclude the bg detection (index 3)
+    bg = [(s, o) for (s, o), l, v in zip(pairs, labels, valid) if v and l == 0]
+    assert all(3 not in (s, o) for s, o in bg) and len(bg) > 0
