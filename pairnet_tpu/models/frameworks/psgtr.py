@@ -29,8 +29,14 @@ class PSGTr(nn.Module):
 
 def build_model(cfg: Mapping[str, Any]) -> nn.Module:
     """Instantiate a detector from a model config node."""
+    import pairnet_tpu.models  # noqa: F401 - populate registries
+
     model_cfg = dict(cfg)
     backbone = build(model_cfg.pop("backbone"), BACKBONES)
-    head = build(model_cfg.pop("bbox_head"), HEADS)
+    kwargs: dict = {"backbone": backbone}
+    if "bbox_head" in model_cfg:
+        kwargs["bbox_head"] = build(model_cfg.pop("bbox_head"), HEADS)
+    if "relation_head" in model_cfg:
+        kwargs["relation_head"] = build(model_cfg.pop("relation_head"), HEADS)
     cls = MODELS.get(model_cfg.pop("type"))
-    return cls(backbone=backbone, bbox_head=head, **model_cfg)
+    return cls(**kwargs, **model_cfg)
