@@ -227,8 +227,16 @@ def baseline_loss(
     id_loss_weight: float = 2.0,
     bg_class_weight: float = 0.1,
     rel_bg_weight: float = 0.02,
+    use_seesaw: bool = False,
+    cum_samples=None,
 ):
-    """Full PSGFormer+ loss dict (per-layer seg + last-layer relation)."""
+    """Full PSGFormer+ loss dict (per-layer seg + last-layer relation).
+
+    ``use_seesaw=True`` gives the CrossHead4 variant (ref: baseline_seesaw.py
+    — baseline + Seesaw relation loss over num_relations+1 classes); pass and
+    carry ``cum_samples`` ((R+1,) running counts) in the train state. Returns
+    (losses, new_cum_samples) in that case.
+    """
     B, K, R1 = outputs["rel"].shape
     Cp1 = outputs["cls"].shape[-1]
     G = batch["gt_labels"].shape[1]
@@ -289,17 +297,29 @@ def baseline_loss(
         losses[f"{tag}loss_dice"] = dice_loss_weight * loss_dice
 
         if li == n_layers - 1:
-            # relation CE with bg column 0 over all K queries
-            cw = rel_class_weight[jnp.clip(r_labels.reshape(-1), 0, R1 - 1)]
-            logp = jax.nn.log_softmax(
-                outputs["rel"].reshape(-1, R1).astype(jnp.float32), -1
-            )
-            nll = -jnp.take_along_axis(
-                logp, r_labels.reshape(-1, 1), axis=-1
-            )[:, 0]
-            losses["r_loss_cls"] = rel_loss_weight * (
-                jnp.sum(nll * cw) / jnp.maximum(cw.sum(), 1e-7)
-            )
+            if use_seesaw:
+                # CrossHead4: Seesaw relation CE with running counts
+                from pairnet_tpu.models.losses import seesaw_ce
+
+                loss_r, new_cum = seesaw_ce(
+                    outputs["rel"].reshape(-1, R1),
+                    r_labels.reshape(-1),
+                    jnp.ones((B * K,), jnp.float32),
+                    cum_samples,
+                )
+                losses["r_loss_cls"] = rel_loss_weight * loss_r
+            else:
+                # relation CE with bg column 0 over all K queries
+                cw = rel_class_weight[jnp.clip(r_labels.reshape(-1), 0, R1 - 1)]
+                logp = jax.nn.log_softmax(
+                    outputs["rel"].reshape(-1, R1).astype(jnp.float32), -1
+                )
+                nll = -jnp.take_along_axis(
+                    logp, r_labels.reshape(-1, 1), axis=-1
+                )[:, 0]
+                losses["r_loss_cls"] = rel_loss_weight * (
+                    jnp.sum(nll * cw) / jnp.maximum(cw.sum(), 1e-7)
+                )
             lsub = jax.vmap(masked_multilabel_ce)(
                 outputs["subject_scores"], sub_tq, r_pos, q_matched
             )
@@ -310,6 +330,8 @@ def baseline_loss(
             losses["loss_object_match"] = id_loss_weight * lobj.mean()
 
     losses["loss_total"] = sum(losses.values())
+    if use_seesaw:
+        return losses, new_cum
     return losses
 
 
