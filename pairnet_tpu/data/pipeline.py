@@ -180,6 +180,7 @@ class Loader:
         train: bool,
         seed: int = 0,
         drop_last: bool | None = None,
+        sample_transform=None,
     ):
         self.dataset = dataset
         self.cfg = cfg
@@ -187,6 +188,8 @@ class Loader:
         self.train = train
         self.rng = np.random.default_rng(seed)
         self.drop_last = train if drop_last is None else drop_last
+        # per-sample hook (e.g. to_twostage_batch for relation-pair fields)
+        self.sample_transform = sample_transform
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -205,6 +208,8 @@ class Loader:
                 preprocess_sample(self.dataset, int(i), self.cfg, self.train, self.rng)
                 for i in idxs
             ]
+            if self.sample_transform is not None:
+                samples = [self.sample_transform(s, self.rng) for s in samples]
             # pad the trailing partial batch by repeating the first sample
             while len(samples) < b:
                 samples.append(samples[0])

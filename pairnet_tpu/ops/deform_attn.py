@@ -111,6 +111,10 @@ def _ms_deform_attn_patch(value, spatial_shapes, locs, weights):
         vl = jax.lax.dynamic_slice_in_dim(value, offs[lvl], h * w, axis=1)
         vl = vl.reshape(B, h, w, H, D).transpose(0, 3, 1, 2, 4)  # (B,H,h,w,D)
         vl = jnp.pad(vl, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        # flatten (x, D) into one contiguous axis so each gather row is a
+        # (2, 2*D) slice: TPU pads gather rows to full (8, 128) tiles, so the
+        # wider minor dim halves the physical traffic vs (2, 2, D) slices
+        vl = vl.reshape(B, H, h + 2, (w + 2) * D)
         x = locs[..., lvl, :, 0] * w - 0.5  # (B, Q, H, P)
         y = locs[..., lvl, :, 1] * h - 0.5
         x0 = jnp.floor(x)
@@ -123,33 +127,32 @@ def _ms_deform_attn_patch(value, spatial_shapes, locs, weights):
         # pixel, i.e. x0 in [-1, w-1]; outside that, the clipped fetch would
         # touch real data with nonzero weight, so mask it out entirely
         inside = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
-        starts = jnp.stack([yi, xi], -1).transpose(0, 2, 1, 3, 4).reshape(
+        starts = jnp.stack([yi, xi * D], -1).transpose(0, 2, 1, 3, 4).reshape(
             B, H, Q * P, 2
         )
         dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            offset_dims=(1, 2), collapsed_slice_dims=(),
             start_index_map=(0, 1),
         )
 
         def gat(vm, st):
             return jax.lax.gather(
-                vm, st, dnums, slice_sizes=(2, 2, D),
+                vm, st, dnums, slice_sizes=(2, 2 * D),
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
             )
 
-        patches = jax.vmap(jax.vmap(gat))(vl, starts)
-        patches = patches.reshape(B, H, Q, P, 2, 2, D)
-        cw = jnp.stack(
-            [
-                jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx], -1),
-                jnp.stack([fy * (1 - fx), fy * fx], -1),
-            ],
-            -2,
-        )  # (B, Q, H, P, 2, 2)
-        cw = cw * (weights[..., lvl, :] * inside)[..., None, None]
+        patches = jax.vmap(jax.vmap(gat))(vl, starts)  # (B,H,QP,2,2D)
+        patches = patches.reshape(B, H, Q, P, 2, 2 * D)
+        # bilinear lerp: x within the 2D lanes (slice-add), then y
+        aw = (weights[..., lvl, :] * inside).transpose(0, 2, 1, 3)  # (B,H,Q,P)
+        fxh = fx.transpose(0, 2, 1, 3)[..., None]  # (B,H,Q,P,1)
+        fyh = fy.transpose(0, 2, 1, 3)[..., None]
+        tx = patches[..., :D] * (1.0 - fxh[..., None, :]) + patches[..., D:] * (
+            fxh[..., None, :]
+        )  # (B,H,Q,P,2,D)
+        t = tx[..., 0, :] * (1.0 - fyh) + tx[..., 1, :] * fyh  # (B,H,Q,P,D)
         out = out + jnp.einsum(
-            "bhqpyxd,bqhpyx->bqhd", patches, cw,
-            preferred_element_type=jnp.float32,
+            "bhqpd,bhqp->bqhd", t, aw, preferred_element_type=jnp.float32
         )
     return out.reshape(B, Q, H * D)
 

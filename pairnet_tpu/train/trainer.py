@@ -58,29 +58,42 @@ def make_train_step(
     model,
     tx: optax.GradientTransformation,
     loss_kwargs: dict | None = None,
+    loss_fn=None,
+    apply_adapter=None,
 ) -> Callable:
-    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    ``loss_fn(outputs, batch, rng, cum_state) -> (losses, new_cum_state)``
+    defaults to the Pair-Net loss; ``apply_adapter(model, variables, batch,
+    **kw)`` defaults to the single-stage image contract.
+    """
     loss_kwargs = loss_kwargs or {}
+    if loss_fn is None:
+        def loss_fn(outputs, batch, rng, cum):  # noqa: F811 - default
+            return pairnet_loss(outputs, batch, rng, cum, **loss_kwargs)
+    if apply_adapter is None:
+        def apply_adapter(model, variables, batch, **kw):
+            return model.apply(variables, batch["image"], **kw)
 
     def train_step(state: TrainState, batch: dict):
         rng, points_rng, dropout_rng = jax.random.split(state.rng, 3)
 
-        def loss_fn(params):
+        def _loss(params):
             variables = dict(state.params)
             variables["params"] = params
-            out = model.apply(
+            out = apply_adapter(
+                model,
                 variables,
-                batch["image"],
+                batch,
                 deterministic=False,
                 rngs={"dropout": dropout_rng},
             )
-            losses, new_cum = pairnet_loss(
-                out, batch, points_rng, state.cum_samples, **loss_kwargs
-            )
+            losses, new_cum = loss_fn(out, batch, points_rng, state.cum_samples)
             return losses["loss_total"], (losses, new_cum)
+        loss_fn_inner = _loss
 
         (_, (losses, new_cum)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
+            loss_fn_inner, has_aux=True
         )(state.params["params"])
         updates, new_opt = tx.update(
             grads, state.opt_state, state.params["params"]
@@ -115,6 +128,8 @@ class Trainer:
         work_dir: str,
         mesh=None,
         loss_kwargs: dict | None = None,
+        loss_fn=None,
+        apply_adapter=None,
         log_interval: int = 50,
         ckpt_interval_epochs: int = 1,
         max_keep_ckpts: int = 15,
@@ -134,7 +149,10 @@ class Trainer:
         self.log_interval = log_interval
         self.ckpt_interval_epochs = ckpt_interval_epochs
         os.makedirs(work_dir, exist_ok=True)
-        self._step_fn = jax.jit(make_train_step(model, tx, loss_kwargs), donate_argnums=0)
+        self._step_fn = jax.jit(
+            make_train_step(model, tx, loss_kwargs, loss_fn, apply_adapter),
+            donate_argnums=0,
+        )
 
         import orbax.checkpoint as ocp
 

@@ -65,16 +65,38 @@ def main():
     mesh = make_mesh()
     n_dev = mesh.devices.size
     batch_size = cfg.data.samples_per_device * n_dev
+
+    head_key = "relation_head" if "relation_head" in cfg.model else "bbox_head"
+    head_type = cfg.model[head_key].type
+    from pairnet_tpu.train.dispatch import get_loss_fn
+
+    loss_fn = get_loss_fn(head_type, cfg)
+    sample_transform = None
+    apply_adapter = None
+    if cfg.model.type == "SceneGraphTwoStage":
+        from pairnet_tpu.data.pipeline import to_twostage_batch
+
+        max_pairs = cfg.data.get("max_pairs", 256)
+        sample_transform = lambda s, rng: to_twostage_batch(
+            s, max_pairs, train=True, rng=rng
+        )
+        apply_adapter = lambda m, v, b, **kw: m.apply(v, b, **kw)
+
     loader_fn = lambda epoch: Loader(
-        dataset, pipe_cfg, batch_size, train=True, seed=seed + epoch
+        dataset, pipe_cfg, batch_size, train=True, seed=seed + epoch,
+        sample_transform=sample_transform,
     )
     steps_per_epoch = max(1, len(loader_fn(0)))
 
     model = build_detector(cfg)
     sample = next(iter(loader_fn(0)))
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(seed), jnp.asarray(sample["image"][:1])
-    )
+    if cfg.model.type == "SceneGraphTwoStage":
+        init_input = {k: jnp.asarray(v[:1]) for k, v in sample.items()}
+        variables = jax.jit(model.init)(jax.random.PRNGKey(seed), init_input)
+    else:
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(seed), jnp.asarray(sample["image"][:1])
+        )
     n_params = sum(
         p.size for p in jax.tree_util.tree_leaves(variables["params"])
     )
@@ -102,7 +124,8 @@ def main():
     )
     trainer = Trainer(
         model, tx, state, work_dir, mesh=mesh,
-        loss_kwargs=dict(cfg.get("loss", {})),
+        loss_fn=loss_fn,
+        apply_adapter=apply_adapter,
         log_interval=cfg.get("log_interval", 50),
         ckpt_interval_epochs=cfg.checkpoint.interval_epochs,
         max_keep_ckpts=cfg.checkpoint.max_keep,
