@@ -170,6 +170,11 @@ def ms_deform_attn(
     row-gather formulation), or a registered Pallas implementation name.
     """
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    import os
+
+    impl = os.environ.get("PAIRNET_DEFORM_IMPL", impl)
+    if impl == "pallas" and impl not in _PALLAS_IMPL:
+        import pairnet_tpu.ops.pallas_deform_attn  # noqa: F401 - registers
     if impl in _PALLAS_IMPL:
         return _PALLAS_IMPL[impl](
             value, spatial_shapes, sampling_locations, attention_weights

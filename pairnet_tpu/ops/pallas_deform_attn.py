@@ -1,0 +1,194 @@
+"""Pallas TPU kernel for multi-scale deformable attention.
+
+The XLA gather formulations are bound by per-row gather issue cost
+(~2.8M rows per level per layer; measured invariant to dtype and slice
+layout — see memory notes). This kernel eliminates gathers entirely:
+
+    out[q] = sum_c w[q, c] * V[idx[q, c]]
+
+is computed as a tiled "soft-four-hot" matmul — each (TQ, TS) one-hot tile
+is built on the VPU from the 4 corner indices/weights (broadcasted-iota
+compares) and contracted with the (TS, D) value tile on the MXU. Locality
+makes it fast: the per-query-tile index range [min, max] covers only a few
+s-tiles for trained offsets (encoder queries are spatially ordered), and the
+kernel loops exactly that range — while remaining EXACT for arbitrary
+offsets (worst case scans all s-tiles).
+
+The backward pass falls back to the XLA patch formulation's VJP via
+jax.custom_vjp (training-correct; the kernel accelerates inference and the
+forward half of training).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TQ = 256  # query-tile rows
+TS = 512  # value-tile rows
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(idx_ref, w_ref, v_ref, out_ref):
+    """idx (1, TQ, 4) int32; w (1, TQ, 4) f32; v (1, S_pad, D); out (1, TQ, D)."""
+    idx = idx_ref[0]
+    wts = w_ref[0]
+    D = v_ref.shape[2]
+    smin = jnp.min(idx) // TS
+    smax = jnp.max(idx) // TS
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 1)
+
+    def body(st, acc):
+        s0 = st * TS
+        vt = v_ref[0, pl.ds(s0, TS), :]
+        rel = idx - s0  # (TQ, 4)
+        onehot = jnp.zeros((TQ, TS), jnp.float32)
+        for c in range(4):
+            onehot = onehot + jnp.where(
+                rel[:, c][:, None] == col, wts[:, c][:, None], 0.0
+            )
+        return acc + jnp.dot(
+            onehot, vt.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(
+        smin, smax + 1, body, jnp.zeros((TQ, D), jnp.float32)
+    )
+    out_ref[0] = acc
+
+
+def _weighted_gather_pallas(values, idx, wts):
+    """values (BH, S_pad, D); idx (BH, QP_pad, 4) int32 in [0, S_pad);
+    wts (BH, QP_pad, 4) f32 -> (BH, QP_pad, D) f32."""
+    BH, S_pad, D = values.shape
+    QP = idx.shape[1]
+    n_qt = QP // TQ
+    grid = (BH, n_qt)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TQ, 4), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, 4), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, D), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, D), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, QP, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(idx, wts, values)
+
+
+def _corners(locs, weights, lvl, h, w, S_pad_minus_1):
+    """Corner flat indices + combined weights for one level.
+
+    locs (B, Q, H, L, P, 2); weights (B, Q, H, L, P).
+    Returns idx (B, H, Q*P, 4) int32 into the padded (h+2, w+2) plane
+    flattened, wts same shape f32.
+    """
+    x = locs[..., lvl, :, 0] * w - 0.5  # (B, Q, H, P)
+    y = locs[..., lvl, :, 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)  # padded coords
+    yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
+    inside = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
+    aw = weights[..., lvl, :] * inside  # (B, Q, H, P)
+
+    base = yi * (w + 2) + xi  # top-left corner in padded plane
+    corners = jnp.stack(
+        [base, base + 1, base + (w + 2), base + (w + 2) + 1], axis=-1
+    )  # (B, Q, H, P, 4)
+    cw = jnp.stack(
+        [(1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx], axis=-1
+    ) * aw[..., None]
+    # (B, Q, H, P, 4) -> (B, H, Q*P, 4)
+    B, Q, H, P = x.shape
+    corners = corners.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * P, 4)
+    cw = cw.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * P, 4)
+    corners = jnp.minimum(corners, S_pad_minus_1)
+    return corners, cw.astype(jnp.float32)
+
+
+def _ms_deform_attn_pallas_fwd_impl(value, spatial_shapes, locs, weights):
+    B, S, H, D = value.shape
+    Q = locs.shape[1]
+    P = locs.shape[4]
+    offs = [0]
+    for h, w in spatial_shapes:
+        offs.append(offs[-1] + h * w)
+
+    QP = Q * P
+    QP_pad = _cdiv(QP, TQ) * TQ
+    out = jnp.zeros((B, Q, H, D), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        vl = jax.lax.dynamic_slice_in_dim(value, offs[lvl], h * w, axis=1)
+        vl = vl.reshape(B, h, w, H, D).transpose(0, 3, 1, 2, 4)
+        vl = jnp.pad(vl, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        S_l = (h + 2) * (w + 2)
+        S_pad = _cdiv(S_l, TS) * TS
+        vl = vl.reshape(B * H, S_l, D)
+        vl = jnp.pad(vl, ((0, 0), (0, S_pad - S_l), (0, 0)))
+
+        idx, cw = _corners(locs, weights, lvl, h, w, S_pad - 1)
+        idx = idx.reshape(B * H, QP, 4)
+        cw = cw.reshape(B * H, QP, 4)
+        if QP_pad != QP:
+            idx = jnp.pad(idx, ((0, 0), (0, QP_pad - QP), (0, 0)))
+            cw = jnp.pad(cw, ((0, 0), (0, QP_pad - QP), (0, 0)))
+
+        sampled = _weighted_gather_pallas(vl, idx, cw)  # (BH, QP_pad, D)
+        sampled = sampled[:, :QP].reshape(B, H, Q, P, D).sum(axis=3)
+        out = out + sampled.transpose(0, 2, 1, 3)
+    return out.reshape(B, Q, H * D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas(value, spatial_shapes, locs, weights):
+    return _ms_deform_attn_pallas_fwd_impl(value, spatial_shapes, locs, weights)
+
+
+def _fwd(value, spatial_shapes, locs, weights):
+    out = _ms_deform_attn_pallas_fwd_impl(value, spatial_shapes, locs, weights)
+    return out, (value, locs, weights)
+
+
+def _bwd(spatial_shapes, res, g):
+    # training-correct fallback: differentiate the XLA patch formulation
+    from pairnet_tpu.ops.deform_attn import _ms_deform_attn_patch
+
+    value, locs, weights = res
+    _, vjp = jax.vjp(
+        lambda v, l, w: _ms_deform_attn_patch(v, spatial_shapes, l, w),
+        value, locs, weights,
+    )
+    return vjp(g)
+
+
+ms_deform_attn_pallas.defvjp(_fwd, _bwd)
+
+
+def register():
+    """Register as impl='pallas' for ops.deform_attn.ms_deform_attn."""
+    from pairnet_tpu.ops.deform_attn import register_pallas_impl
+
+    register_pallas_impl(
+        "pallas",
+        lambda v, s, l, w: ms_deform_attn_pallas(v, s, l, w),
+    )
+
+
+register()

@@ -45,3 +45,46 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def init_distributed() -> None:
+    """Multi-host init (counterpart of init_dist, ref: tools/train.py:169-176).
+
+    On a multi-host TPU slice, call once per process before any jax use;
+    single-host (this environment) is a no-op.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1")
+    ) > 1:
+        jax.distributed.initialize()
+
+
+def shard_dataset_indices(n_items: int, seed: int, epoch: int):
+    """Per-host disjoint shard of dataset indices (counterpart of the
+    reference's per-rank DistributedSampler semantics): shuffle with a
+    common seed, split contiguously across processes."""
+    rng = np.random.default_rng(seed + epoch)
+    order = rng.permutation(n_items)
+    p = jax.process_index()
+    n = jax.process_count()
+    per = n_items // n
+    return order[p * per : (p + 1) * per]
+
+
+def global_batch_from_host_batches(mesh: Mesh, host_batch: dict) -> dict:
+    """Form a globally-sharded batch from per-host local batches
+    (multi-host version of shard_batch; uses host_local_array_to_global)."""
+    try:
+        from jax.experimental import multihost_utils
+
+        sh = batch_sharding(mesh)
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                x, mesh, P("data")
+            ),
+            host_batch,
+        )
+    except Exception:
+        return shard_batch(mesh, host_batch)
