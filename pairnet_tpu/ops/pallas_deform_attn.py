@@ -58,7 +58,9 @@ def _kernel(idx_ref, w_ref, v_ref, out_ref):
                 rel[:, c][:, None] == col, wts[:, c][:, None], 0.0
             )
         return acc + jnp.dot(
-            onehot, vt.astype(jnp.float32), preferred_element_type=jnp.float32
+            onehot, vt.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     acc = jax.lax.fori_loop(

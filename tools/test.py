@@ -83,17 +83,36 @@ def main():
     )
     apply_fn = jax.jit(lambda img: model.apply(variables, jnp.asarray(img)))
 
+    head_key = "relation_head" if "relation_head" in cfg.model else "bbox_head"
+    head_type = cfg.model[head_key].type
+
     t0 = time.time()
-    metrics = evaluate_model(
-        apply_fn,
-        dataset,
-        pipe_cfg,
-        batch_size=args.batch_size,
-        mode=args.eval,
-        num_predicates=cfg.num_relation_classes,
-        num_things=cfg.evaluation.num_things,
-        iou_thr=cfg.evaluation.get("iou_thr", 0.5),
-    )
+    if head_type != "PairNetHead":
+        from pairnet_tpu.evaluation.runner import evaluate_model_with_postprocess
+        from pairnet_tpu.train.dispatch import get_postprocess_fn
+
+        metrics = evaluate_model_with_postprocess(
+            apply_fn,
+            get_postprocess_fn(head_type),
+            dataset,
+            pipe_cfg,
+            batch_size=args.batch_size,
+            mode=args.eval,
+            num_predicates=cfg.num_relation_classes,
+            num_things=cfg.evaluation.num_things,
+            iou_thr=cfg.evaluation.get("iou_thr", 0.5),
+        )
+    else:
+        metrics = evaluate_model(
+            apply_fn,
+            dataset,
+            pipe_cfg,
+            batch_size=args.batch_size,
+            mode=args.eval,
+            num_predicates=cfg.num_relation_classes,
+            num_things=cfg.evaluation.num_things,
+            iou_thr=cfg.evaluation.get("iou_thr", 0.5),
+        )
     dt = time.time() - t0
     metrics[f"{args.eval}_eval_time_s"] = round(dt, 2)
     metrics[f"{args.eval}_images_per_s"] = round(len(dataset) / dt, 3)
