@@ -57,10 +57,13 @@ def _kernel(idx_ref, w_ref, v_ref, out_ref):
             onehot = onehot + jnp.where(
                 rel[:, c][:, None] == col, wts[:, c][:, None], 0.0
             )
+        # default MXU precision: ~1e-2 abs error vs the f32 formulations
+        # (bf16-level — the production inference posture). HIGHEST would be
+        # bit-exact but costs 3 MXU passes and erases the speedup entirely
+        # (797 -> 2656 ms/call measured); use impl='patch' when exact f32
+        # parity is required (e.g. checkpoint-conversion validation).
         return acc + jnp.dot(
-            onehot, vt.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            onehot, vt.astype(jnp.float32), preferred_element_type=jnp.float32
         )
 
     acc = jax.lax.fori_loop(
