@@ -273,3 +273,89 @@ def sgg_evaluate(
                 float(np.mean(acc.phr_recall[k])) if acc.phr_recall[k] else 0.0
             )
     return out
+
+
+def sg_pair_accuracy(
+    groundtruths: list[SGGroundTruth],
+    predictions: list[SGPrediction],
+    num_things: int = 80,
+    iou_thr: float = 0.5,
+    detection_method: str = "pan_seg",
+) -> dict:
+    """SGPairAccuracy (ref: sgg_metrics.py:537-667): recall restricted to
+    predictions whose (sub, obj) pair indices appear among the GT pairs.
+    Only meaningful for predcls/sgcls (predictions index GT objects)."""
+    use_masks = detection_method == "pan_seg"
+    hits = {k: [] for k in TOPK}
+    counts = {k: [] for k in TOPK}
+    for gt, pred in zip(groundtruths, predictions):
+        if len(gt.rels) == 0:
+            continue
+        gt_dets = gt.masks if use_masks else gt.boxes
+        gt_triplets, gt_det_tr = _triplets(gt.rels, gt.labels, gt_dets)
+        pred_rels = np.column_stack(
+            (pred.rel_pair_idxes, 1 + pred.rel_dists[:, 1:].argmax(1))
+        )
+        # predcls semantics: predictions ground in GT objects
+        pred_triplets, pred_det_tr = _triplets(pred_rels, gt.labels, gt_dets)
+        pred_to_gt = _compute_pred_matches(
+            gt_triplets, pred_triplets, gt_det_tr, pred_det_tr, iou_thr, use_masks
+        )
+        gt_pair_idx = gt.rels[:, 0] * 10000 + gt.rels[:, 1]
+        pred_pair_idx = (
+            pred.rel_pair_idxes[:, 0] * 10000 + pred.rel_pair_idxes[:, 1]
+        )
+        in_gt = np.isin(pred_pair_idx, gt_pair_idx)
+        restricted = [p for p, f in zip(pred_to_gt, in_gt) if f]
+        for k in TOPK:
+            match = (
+                reduce(np.union1d, restricted[:k]) if restricted else np.array([])
+            )
+            hits[k].append(float(len(match)))
+            counts[k].append(float(len(gt.rels)))
+    out = {}
+    for k in TOPK:
+        h = np.asarray(hits[k])
+        c = np.asarray(counts[k])
+        out[f"pair_accuracy_A@{k}"] = (
+            float(np.mean(h / np.maximum(c, 1))) if len(h) else 0.0
+        )
+    return out
+
+
+def sg_object_iou(
+    groundtruths: list[SGGroundTruth],
+    predictions: list[SGPrediction],
+    iou_thr: float = 0.5,
+    detection_method: str = "pan_seg",
+) -> dict:
+    """SGObjectIOU (ref: sgg_metrics.py:942-1086): for each GT triplet whose
+    classes match a prediction, record the best subject/object IoU; report
+    the mean and the fraction above the threshold."""
+    use_masks = detection_method == "pan_seg"
+    sub_ious, obj_ious = [], []
+    for gt, pred in zip(groundtruths, predictions):
+        if len(gt.rels) == 0 or pred.rel_pair_idxes.shape[0] == 0:
+            continue
+        gt_dets = gt.masks if use_masks else gt.boxes
+        pred_dets = pred.masks if use_masks else pred.boxes
+        gt_triplets, gt_det_tr = _triplets(gt.rels, gt.labels, gt_dets)
+        pred_rels = np.column_stack(
+            (pred.rel_pair_idxes, 1 + pred.rel_dists[:, 1:].argmax(1))
+        )
+        pred_triplets, pred_det_tr = _triplets(pred_rels, pred.labels, pred_dets)
+        keeps = intersect_2d(gt_triplets, pred_triplets)
+        iou_fn = _mask_iou_matrix if use_masks else _box_iou_matrix
+        for gi in np.where(keeps.any(1))[0]:
+            cand = np.where(keeps[gi])[0]
+            s = iou_fn(gt_det_tr[gi][0][None], pred_det_tr[cand][:, 0])[0]
+            o = iou_fn(gt_det_tr[gi][1][None], pred_det_tr[cand][:, 1])[0]
+            sub_ious.append(float(s.max()))
+            obj_ious.append(float(o.max()))
+    all_ious = sub_ious + obj_ious
+    return {
+        "object_mean_iou": float(np.mean(all_ious)) if all_ious else 0.0,
+        "object_iou_recall": (
+            float(np.mean(np.asarray(all_ious) > iou_thr)) if all_ious else 0.0
+        ),
+    }

@@ -1,6 +1,7 @@
 """Recall-engine tests on hand-constructed graphs with known answers."""
 
 import numpy as np
+import pytest
 
 from pairnet_tpu.evaluation.sgg_eval import (
     SGGroundTruth,
@@ -134,3 +135,20 @@ def test_predcls_substitutes_gt():
     pred.rel_dists = pred.rel_dists[: len(gt.rels)]
     out = sgg_evaluate([gt], [pred], mode="predcls")
     assert out["predcls_recall_R@100"] == 1.0
+
+
+def test_pair_accuracy_and_object_iou():
+    from pairnet_tpu.evaluation.sgg_eval import sg_object_iou, sg_pair_accuracy
+
+    gt = _gt()
+    pred = _pred_from_gt(gt)
+    # predictions index GT objects for the pair-accuracy metric (predcls)
+    pred.rel_pair_idxes = gt.rels[:, :2].copy()
+    pred.rel_dists = pred.rel_dists[: len(gt.rels)]
+    acc = sg_pair_accuracy([gt], [pred])
+    assert acc["pair_accuracy_A@100"] == 1.0
+
+    pred2 = _pred_from_gt(gt)
+    iou = sg_object_iou([gt], [pred2])
+    assert iou["object_mean_iou"] == pytest.approx(1.0)
+    assert iou["object_iou_recall"] == 1.0
