@@ -13,3 +13,4 @@ from pairnet_tpu.models.heads.psgtr2_head import PSGTr2Head
 from pairnet_tpu.models.heads.psgtr_head import PSGTrHead
 from pairnet_tpu.models.heads.twostage.heads import GPSHead, IMPHead, MotifHead
 from pairnet_tpu.models.heads.twostage.vctree import VCTreeHead
+from pairnet_tpu.models.heads.baseline_head import MyPSGFormerHead

@@ -57,6 +57,11 @@ class BaselineHead(nn.Module):
     num_relation_layers: int = 6
     num_feat_levels: int = 3
     pixel_decoder_layers: int = 6
+    # MyPSGFormerHead (ref: pairnet/models/relation_heads/psgformer_head.py —
+    # PSGFormer ported onto the Mask2Former pixel decoder) uses temperature-
+    # scaled prototype scores like the original PSGFormer; the PSGFormer+
+    # baseline uses temp = 1.0
+    temp: float = 1.0
 
     def setup(self):
         self.pixel_decoder = MSDeformAttnPixelDecoder(
@@ -128,8 +133,8 @@ class BaselineHead(nn.Module):
         sub_proto = l2n(self.sub_query_update(queries))  # (B, Q, C)
         obj_proto = l2n(self.obj_query_update(queries))
         rel_n = l2n(rel_query)
-        subject_scores = jnp.einsum("bkc,bqc->bkq", rel_n, sub_proto)
-        object_scores = jnp.einsum("bkc,bqc->bkq", rel_n, obj_proto)
+        subject_scores = jnp.einsum("bkc,bqc->bkq", rel_n, sub_proto) / self.temp
+        object_scores = jnp.einsum("bkc,bqc->bkq", rel_n, obj_proto) / self.temp
         sub_ids = subject_scores.argmax(-1)  # (B, K)
         obj_ids = object_scores.argmax(-1)
 
@@ -382,3 +387,12 @@ def baseline_postprocess(outputs, image_index: int | None = None, num_things: in
         r_labels=r_labels.astype(jnp.int32),
         r_scores=flat[idx],
     )
+
+
+@HEADS.register()
+class MyPSGFormerHead(BaselineHead):
+    """PSGFormer on the Mask2Former pixel decoder (ref: psgformer_head.py):
+    the PSGFormer+ architecture with the original temperature-scaled
+    prototype matching."""
+
+    temp: float = 0.1
