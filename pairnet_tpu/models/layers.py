@@ -200,7 +200,8 @@ class MSDeformAttention(nn.Module):
     num_heads: int = 8
     num_levels: int = 3
     num_points: int = 4
-    impl: str = "xla"
+    # 'patch' resolves to the Pallas kernel on TPU (see ops/deform_attn.py)
+    impl: str = "patch"
 
     @nn.compact
     def __call__(
