@@ -157,3 +157,38 @@ def test_detect_relsample():
     # background pairs exclude the bg detection (index 3)
     bg = [(s, o) for (s, o), l, v in zip(pairs, labels, valid) if v and l == 0]
     assert all(3 not in (s, o) for s, o in bg) and len(bg) > 0
+
+
+def test_rankers_and_weak_labels():
+    import jax
+    import jax.numpy as jnp
+    from pairnet_tpu.models.heads.twostage.ranker import (
+        LSTMRanker,
+        LinearRanker,
+        get_weak_key_rel_labels,
+    )
+
+    rng = np.random.default_rng(0)
+    B, P, D = 2, 6, 16
+    feats = jnp.asarray(rng.normal(size=(B, P, D)), jnp.float32)
+    valid = jnp.asarray([[True] * 4 + [False] * 2] * B)
+    lr = LinearRanker(hidden_dim=8)
+    params = lr.init(jax.random.PRNGKey(0), feats, valid)
+    scores = lr.apply(params, feats, valid)
+    assert scores.shape == (B, P)
+    assert (np.asarray(scores)[:, 4:] < -1e8).all()
+
+    boxes = jnp.asarray(rng.uniform(0, 20, size=(B, P, 4)), jnp.float32)
+    lstm = LSTMRanker(hidden_dim=8)
+    params = lstm.init(jax.random.PRNGKey(0), feats, boxes, valid)
+    s2 = lstm.apply(params, feats, boxes, valid)
+    assert s2.shape == (B, P)
+
+    sal = jnp.ones((16, 16)) * 0.5
+    obj_boxes = jnp.asarray([[0, 0, 8, 8], [8, 8, 15, 15], [0, 0, 3, 3]], jnp.float32)
+    pairs = jnp.asarray([[0, 1], [1, 2], [0, 2]])
+    pv = jnp.asarray([True, True, False])
+    w = get_weak_key_rel_labels(sal, obj_boxes, pairs, pv)
+    assert float(w.sum()) == pytest.approx(1.0, abs=1e-5)
+    assert float(w[2]) < 1e-6  # invalid pair gets ~zero mass
+    assert float(w[0]) > float(w[1])  # bigger boxes -> more importance
