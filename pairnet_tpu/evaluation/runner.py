@@ -194,3 +194,54 @@ def evaluate_model_with_postprocess(
         gts, preds, mode=mode, num_predicates=num_predicates,
         iou_thr=iou_thr, detection_method="pan_seg", num_things=num_things,
     )
+
+
+def evaluate_twostage(
+    apply_fn,
+    dataset,
+    pipe_cfg: PipelineConfig,
+    max_pairs: int = 256,
+    batch_size: int = 1,
+    mode: str = "predcls",
+    num_predicates: int = 56,
+    num_things: int = 80,
+    iou_thr: float = 0.5,
+) -> dict:
+    """predcls/sgcls evaluation for the two-stage relation heads.
+
+    Detections are the GT boxes (predcls semantics, ref: sg_panoptic_fpn.py:
+    383-391); all ordered pairs are scored and ranked by the PostProcessor
+    triplet score. ``apply_fn(batch) -> outputs`` must accept the two-stage
+    batch contract.
+    """
+    from pairnet_tpu.data.pipeline import to_twostage_batch
+    from pairnet_tpu.models.heads.twostage.heads import twostage_postprocess
+
+    loader = Loader(
+        dataset, pipe_cfg, batch_size, train=False, seed=0,
+        sample_transform=lambda s, rng: to_twostage_batch(
+            s, max_pairs, train=False, rng=rng
+        ),
+    )
+    gts = load_groundtruths(dataset)
+    preds: list[SGPrediction] = []
+    for batch in loader:
+        out = apply_fn(batch)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for b in range(batch["image"].shape[0]):
+            if not batch["batch_valid"][b]:
+                continue
+            res = twostage_postprocess(out, batch, b)
+            preds.append(
+                SGPrediction(
+                    labels=res["labels"].astype(np.int64),
+                    rel_pair_idxes=res["rel_pair_idxes"].astype(np.int64),
+                    rel_dists=res["rel_dists"].astype(np.float32),
+                    obj_scores=res["obj_scores"],
+                )
+            )
+    assert len(gts) == len(preds)
+    return sgg_evaluate(
+        gts, preds, mode=mode, num_predicates=num_predicates,
+        iou_thr=iou_thr, detection_method="pan_seg", num_things=num_things,
+    )

@@ -47,7 +47,11 @@ def load_params(model, ckpt_dir, init_fn):
     # and eval builds, so we take the raw tree and keep only the variables
     raw = mgr.restore(step, args=ocp.args.StandardRestore())
     logging.info("loaded checkpoint step %s from %s", step, ckpt_dir)
-    return raw["params"]
+    import jax
+    import jax.numpy as jnp
+
+    # numpy leaves break traced indexing (numpy_param[tracer]); move to device
+    return jax.tree_util.tree_map(jnp.asarray, raw["params"])
 
 
 def main():
@@ -73,21 +77,59 @@ def main():
     pipe_cfg = build_pipeline_cfg(cfg, train=False)
     model = build_detector(cfg)
 
-    sample_shape = (1, *pipe_cfg.padded_hw(), 3)
-    variables = load_params(
-        model,
-        args.checkpoint,
-        lambda: jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
-        ),
-    )
-    apply_fn = jax.jit(lambda img: model.apply(variables, jnp.asarray(img)))
+    if cfg.model.type == "SceneGraphTwoStage":
+        from pairnet_tpu.data.pipeline import Loader, to_twostage_batch
+
+        init_loader = Loader(
+            dataset, pipe_cfg, 1, train=False, seed=0,
+            sample_transform=lambda s, rng: to_twostage_batch(
+                s, cfg.data.get("max_pairs", 256), train=False, rng=rng
+            ),
+        )
+        init_batch = {
+            k: jnp.asarray(v) for k, v in next(iter(init_loader)).items()
+        }
+        variables = load_params(
+            model,
+            args.checkpoint,
+            lambda: jax.jit(model.init)(jax.random.PRNGKey(0), init_batch),
+        )
+        apply_fn = None  # two-stage eval builds its own apply below
+    else:
+        sample_shape = (1, *pipe_cfg.padded_hw(), 3)
+        variables = load_params(
+            model,
+            args.checkpoint,
+            lambda: jax.jit(model.init)(
+                jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
+            ),
+        )
+        apply_fn = jax.jit(lambda img: model.apply(variables, jnp.asarray(img)))
 
     head_key = "relation_head" if "relation_head" in cfg.model else "bbox_head"
     head_type = cfg.model[head_key].type
 
     t0 = time.time()
-    if head_type != "PairNetHead":
+    if cfg.model.type == "SceneGraphTwoStage":
+        from pairnet_tpu.evaluation.runner import evaluate_twostage
+
+        apply2 = jax.jit(
+            lambda b: model.apply(
+                variables, {k: jnp.asarray(v) for k, v in b.items()}
+            )
+        )
+        metrics = evaluate_twostage(
+            apply2,
+            dataset,
+            pipe_cfg,
+            max_pairs=cfg.data.get("max_pairs", 256),
+            batch_size=args.batch_size,
+            mode=args.eval,
+            num_predicates=cfg.num_relation_classes,
+            num_things=cfg.evaluation.num_things,
+            iou_thr=cfg.evaluation.get("iou_thr", 0.5),
+        )
+    elif head_type != "PairNetHead":
         from pairnet_tpu.evaluation.runner import evaluate_model_with_postprocess
         from pairnet_tpu.train.dispatch import get_postprocess_fn
 
