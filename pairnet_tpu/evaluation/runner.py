@@ -200,7 +200,7 @@ def evaluate_twostage(
     apply_fn,
     dataset,
     pipe_cfg: PipelineConfig,
-    max_pairs: int = 256,
+    max_pairs: int | None = None,
     batch_size: int = 1,
     mode: str = "predcls",
     num_predicates: int = 56,
@@ -217,6 +217,10 @@ def evaluate_twostage(
     from pairnet_tpu.data.pipeline import to_twostage_batch
     from pairnet_tpu.models.heads.twostage.heads import twostage_postprocess
 
+    if max_pairs is None:
+        # test time scores ALL ordered pairs (ref: sampling.py:44-67);
+        # truncating silently destroys recall
+        max_pairs = pipe_cfg.max_inst * (pipe_cfg.max_inst - 1)
     loader = Loader(
         dataset, pipe_cfg, batch_size, train=False, seed=0,
         sample_transform=lambda s, rng: to_twostage_batch(

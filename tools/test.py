@@ -83,7 +83,13 @@ def main():
         init_loader = Loader(
             dataset, pipe_cfg, 1, train=False, seed=0,
             sample_transform=lambda s, rng: to_twostage_batch(
-                s, cfg.data.get("max_pairs", 256), train=False, rng=rng
+                s,
+                cfg.data.get(
+                    "test_max_pairs",
+                    pipe_cfg.max_inst * (pipe_cfg.max_inst - 1),
+                ),
+                train=False,
+                rng=rng,
             ),
         )
         init_batch = {
@@ -122,7 +128,7 @@ def main():
             apply2,
             dataset,
             pipe_cfg,
-            max_pairs=cfg.data.get("max_pairs", 256),
+            max_pairs=cfg.data.get("test_max_pairs"),
             batch_size=args.batch_size,
             mode=args.eval,
             num_predicates=cfg.num_relation_classes,
