@@ -69,6 +69,7 @@ class BaselineHead(nn.Module):
             out_channels=self.embed_dims,
             num_encoder_levels=self.num_feat_levels,
             num_encoder_layers=self.pixel_decoder_layers,
+            num_heads=self.num_heads,
             name="pixel_decoder",
         )
         self.transformer_decoder = Mask2FormerDecoder(

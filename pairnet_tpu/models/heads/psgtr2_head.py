@@ -52,6 +52,7 @@ class PSGTr2Head(nn.Module):
             feat_channels=C, out_channels=C,
             num_encoder_levels=self.num_feat_levels,
             num_encoder_layers=self.pixel_decoder_layers,
+            num_heads=self.num_heads,
             name="pixel_decoder",
         )
         self.transformer_decoder = Mask2FormerDecoder(
