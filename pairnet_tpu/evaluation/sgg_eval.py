@@ -359,3 +359,72 @@ def sg_object_iou(
             float(np.mean(np.asarray(all_ious) > iou_thr)) if all_ious else 0.0
         ),
     }
+
+
+def sgg_evaluate_nogc(
+    groundtruths: list[SGGroundTruth],
+    predictions: list[SGPrediction],
+    mode: str = "sgdet",
+    num_predicates: int = 50,
+    iou_thr: float = 0.5,
+    nogc_thres_num: int = 100,
+) -> dict:
+    """No-graph-constraint recall for bbox-mode datasets (VG/OIV6).
+
+    Ref: sgg_metrics.py:254-343 — each pair contributes its top
+    ``nogc_thres_num`` predicates scored by obj_score_prod x rel_prob; the
+    flattened triplets are ranked by that score and the top 100 evaluated.
+    The reference computes this only for detection_method='bbox'.
+    """
+    recalls = {k: [] for k in TOPK}
+    mr_collect = {k: [[] for _ in range(num_predicates + 1)] for k in TOPK}
+    for gt, pred in zip(groundtruths, predictions):
+        if len(gt.rels) == 0 or pred.rel_pair_idxes.shape[0] == 0:
+            continue
+        obj_scores = (
+            pred.obj_scores
+            if pred.obj_scores is not None
+            else np.ones(len(pred.labels))
+        )
+        pair_scores = obj_scores[pred.rel_pair_idxes].prod(1)  # (K,)
+        overall = pair_scores[:, None] * pred.rel_dists[:, 1:]  # (K, P)
+        kk = min(nogc_thres_num, overall.shape[1])
+        top_p = np.argsort(-overall, axis=1)[:, :kk]
+        flat_scores = np.take_along_axis(overall, top_p, axis=1).reshape(-1)
+        pair_idx = np.repeat(np.arange(overall.shape[0]), kk)
+        order = np.argsort(-flat_scores)[:100]
+        rels = np.column_stack(
+            (
+                pred.rel_pair_idxes[pair_idx[order]],
+                top_p.reshape(-1)[order] + 1,
+            )
+        )
+        gt_triplets, gt_det_tr = _triplets(gt.rels, gt.labels, gt.boxes)
+        pred_triplets, pred_det_tr = _triplets(rels, pred.labels, pred.boxes)
+        pred_to_gt = _compute_pred_matches(
+            gt_triplets, pred_triplets, gt_det_tr, pred_det_tr, iou_thr,
+            use_masks=False,
+        )
+        rk = _recall_at_k(pred_to_gt, len(gt.rels))
+        for k in TOPK:
+            recalls[k].append(rk[k][0])
+            cnt = np.zeros(num_predicates + 1)
+            hit = np.zeros(num_predicates + 1)
+            for r in range(len(gt.rels)):
+                cnt[int(gt.rels[r, 2])] += 1
+            for gi in rk[k][1]:
+                hit[int(gt.rels[int(gi), 2])] += 1
+            for n in range(1, num_predicates + 1):
+                if cnt[n] > 0:
+                    mr_collect[k][n].append(float(hit[n] / cnt[n]))
+    out = {}
+    for k in TOPK:
+        out[f"nogc_{mode}_recall_R@{k}"] = (
+            float(np.mean(recalls[k])) if recalls[k] else 0.0
+        )
+        mr = 0.0
+        for n in range(1, num_predicates + 1):
+            vals = mr_collect[k][n]
+            mr += float(np.mean(vals)) if vals else 0.0
+        out[f"nogc_{mode}_mean_recall_mR@{k}"] = mr / num_predicates
+    return out

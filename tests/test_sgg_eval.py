@@ -152,3 +152,33 @@ def test_pair_accuracy_and_object_iou():
     iou = sg_object_iou([gt], [pred2])
     assert iou["object_mean_iou"] == pytest.approx(1.0)
     assert iou["object_iou_recall"] == 1.0
+
+
+def test_nogc_recall_bbox():
+    from pairnet_tpu.evaluation.sgg_eval import sgg_evaluate_nogc
+
+    boxes = np.asarray(
+        [[0, 0, 10, 10], [15, 15, 30, 30], [0, 20, 8, 32]], np.float32
+    )
+    gt = SGGroundTruth(
+        labels=np.asarray([3, 5, 9]),
+        rels=np.asarray([[0, 1, 2]]),
+        boxes=boxes,
+    )
+    # graph-constraint argmax predicts the WRONG predicate (3), but the
+    # correct one (2) is second-best -> nogc recalls it
+    dists = np.zeros((1, 6), np.float32)
+    dists[0, 3] = 0.5
+    dists[0, 2] = 0.4
+    pred = SGPrediction(
+        labels=gt.labels,
+        rel_pair_idxes=np.asarray([[0, 1]]),
+        rel_dists=dists,
+        boxes=boxes,
+        obj_scores=np.ones(3),
+    )
+    gc = sgg_evaluate([gt], [pred], mode="sgdet", num_predicates=5,
+                      detection_method="bbox")
+    assert gc["sgdet_recall_R@100"] == 0.0
+    nogc = sgg_evaluate_nogc([gt], [pred], num_predicates=5)
+    assert nogc["nogc_sgdet_recall_R@100"] == 1.0
