@@ -109,10 +109,10 @@ class PSGDataset:
                 PSGItem(
                     image_id=d["image_id"],
                     file_name=d["file_name"],
-                    pan_seg_file_name=d["pan_seg_file_name"],
+                    pan_seg_file_name=d.get("pan_seg_file_name", ""),
                     height=d["height"],
                     width=d["width"],
-                    segments_info=d["segments_info"],
+                    segments_info=d.get("segments_info", []),
                     annotations=d.get("annotations", []),
                     relations=np.asarray(rels, dtype=np.int32),
                 )
@@ -150,7 +150,8 @@ class PSGDataset:
 
         gt_rels = self._dedup_relations(d.relations)
 
-        num_seg = len(d.segments_info)
+        # box-only datasets have no segments_info; index by annotations
+        num_seg = len(d.segments_info) or len(d.annotations)
         relation_map = np.zeros((num_seg, num_seg), np.int64)
         for s, o, p in gt_rels:
             if relation_map[s, o] > 0:
@@ -167,6 +168,11 @@ class PSGDataset:
             masks=[
                 {"id": s["id"], "category": s["category_id"], "is_thing": s["isthing"]}
                 for s in d.segments_info
+            ]
+            or [
+                # box-only datasets: one pseudo-segment per annotation
+                {"id": i, "category": a["category_id"], "is_thing": True}
+                for i, a in enumerate(d.annotations)
             ],
             seg_map=d.pan_seg_file_name,
         )

@@ -117,6 +117,14 @@ def evaluate_model(
 
     ``apply_fn(image_batch) -> output dict`` should be jitted by the caller.
     """
+    if mode == "predcls":
+        # predcls substitutes GT detections for the prediction's, which only
+        # lines up when the head is conditioned on GT boxes (two-stage path,
+        # ref: predcls configs all use SceneGraphTwoStage); a one-stage head's
+        # rel_pair_idxes index its own K queries, not the GT list.
+        raise ValueError(
+            "predcls is only defined for two-stage heads (use evaluate_twostage)"
+        )
     loader = Loader(dataset, pipe_cfg, batch_size, train=False, seed=0)
     preds: list[SGPrediction] = []
     for batch in loader:
@@ -158,6 +166,27 @@ def triplets_to_protocol(pred, batch, b, mask_stride: int) -> SGPrediction:
     )
 
 
+def box_triplets_to_protocol(pred, batch, b) -> SGPrediction:
+    """Convert a BoxTripletPrediction (normalized xyxy on the padded canvas)
+    to original-resolution pixel boxes: the resized content occupies
+    [0, rh) x [0, rw) of the padded canvas, so scale by padded size then by
+    orig/resized."""
+    rh, rw = (float(x) for x in batch["image_shape"][b])
+    oh, ow = (float(x) for x in batch["orig_shape"][b])
+    ph, pw = (float(s) for s in batch["image"].shape[1:3])
+    boxes = np.asarray(pred.boxes, np.float32)
+    sx = pw * ow / max(rw, 1.0)
+    sy = ph * oh / max(rh, 1.0)
+    boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+    return SGPrediction(
+        labels=np.asarray(pred.labels, np.int64),
+        rel_pair_idxes=np.asarray(pred.rel_pairs, np.int64),
+        rel_dists=np.asarray(pred.r_dists, np.float32),
+        masks=None,
+        boxes=boxes,
+    )
+
+
 def evaluate_model_with_postprocess(
     apply_fn,
     postprocess_fn,
@@ -170,13 +199,24 @@ def evaluate_model_with_postprocess(
     iou_thr: float = 0.5,
 ) -> dict:
     """Like evaluate_model but through a head-specific TripletPrediction
-    postprocessor (see train/dispatch.get_postprocess_fn)."""
+    postprocessor (see train/dispatch.get_postprocess_fn). Box-mode heads
+    (postprocess returns ``.boxes``, no masks) evaluate with
+    detection_method='bbox' like the reference's VG/OIV6 path."""
     import jax
 
+    if mode == "predcls":
+        # predcls substitutes GT detections for the prediction's, which only
+        # lines up when the head is conditioned on GT boxes (two-stage path,
+        # ref: predcls configs all use SceneGraphTwoStage); a one-stage head's
+        # rel_pair_idxes index its own K queries, not the GT list.
+        raise ValueError(
+            "predcls is only defined for two-stage heads (use evaluate_twostage)"
+        )
     loader = Loader(dataset, pipe_cfg, batch_size, train=False, seed=0)
     post = jax.jit(lambda o, b: postprocess_fn(o, b, num_things=num_things),
                    static_argnums=1)
     preds: list[SGPrediction] = []
+    use_boxes = False
     for batch in loader:
         out = apply_fn(batch["image"])
         out = {k: v for k, v in out.items()
@@ -185,14 +225,20 @@ def evaluate_model_with_postprocess(
             if not batch["batch_valid"][b]:
                 continue
             trip = post(out, b)
-            preds.append(
-                triplets_to_protocol(trip, batch, b, pipe_cfg.mask_stride)
-            )
+            if hasattr(trip, "boxes"):
+                use_boxes = True
+                preds.append(box_triplets_to_protocol(trip, batch, b))
+            else:
+                preds.append(
+                    triplets_to_protocol(trip, batch, b, pipe_cfg.mask_stride)
+                )
     gts = load_groundtruths(dataset)
     assert len(gts) == len(preds)
     return sgg_evaluate(
         gts, preds, mode=mode, num_predicates=num_predicates,
-        iou_thr=iou_thr, detection_method="pan_seg", num_things=num_things,
+        iou_thr=iou_thr,
+        detection_method="bbox" if use_boxes else "pan_seg",
+        num_things=num_things,
     )
 
 

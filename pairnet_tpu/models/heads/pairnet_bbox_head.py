@@ -16,7 +16,7 @@ Boxes are normalized cxcywh; per-layer class/box heads share DETR semantics
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -287,3 +287,177 @@ class CrossHeadBBox(nn.Module):
             "obj_pos": obj_pos,
             "queries": queries,
         }
+
+
+# ---------------------------------------------------------------------------
+# Training losses (behavioral counterpart of CrossHeadBBox.loss /
+# _get_target_single, ref: pairnet/models/relation_heads/pairnet_bbox_head.py:
+# 362-693: the detection losses are built but commented out in the reference;
+# only the scene-graph losses train — rel Seesaw 2.0, sub/obj CE 4.0,
+# importance BCE 5.0 with dynamic pos_weight, with query<->GT correspondence
+# established by the box HungarianAssigner, batched/vmapped here).
+# ---------------------------------------------------------------------------
+
+
+def _bbox_targets_single(
+    cls_pred,  # (Q, C) sigmoid logits
+    box_pred,  # (Q, 4) normalized cxcywh
+    sub_score,  # (K, C) detached gathered logits
+    obj_score,  # (K, C)
+    rel_score,  # (K, R)
+    gt_labels,  # (G,) 0-based
+    gt_boxes,  # (G, 4) xyxy in resized-image pixels
+    gt_valid,  # (G,) bool
+    gt_rels,  # (Rm, 3) [sub_gt, obj_gt, predicate_1based]
+    rel_valid,  # (Rm,) bool
+    img_hw,  # (2,)
+):
+    from pairnet_tpu.models.matchers import box_hungarian_assign, id_match
+
+    Q = cls_pred.shape[0]
+    G = gt_labels.shape[0]
+    Rm = gt_rels.shape[0]
+    scale = jnp.concatenate([img_hw[::-1], img_hw[::-1]]).astype(jnp.float32)
+    gt_xyxy_n = gt_boxes / jnp.maximum(scale, 1.0)
+    gt_cxcywh = jnp.clip(
+        jnp.stack(
+            [
+                (gt_xyxy_n[:, 0] + gt_xyxy_n[:, 2]) / 2,
+                (gt_xyxy_n[:, 1] + gt_xyxy_n[:, 3]) / 2,
+                gt_xyxy_n[:, 2] - gt_xyxy_n[:, 0],
+                gt_xyxy_n[:, 3] - gt_xyxy_n[:, 1],
+            ],
+            -1,
+        ),
+        0.0, 1.0,
+    )
+    assign = box_hungarian_assign(
+        cls_pred, box_pred, gt_labels, gt_cxcywh, gt_valid, img_hw
+    )
+    gt2query = assign.gt2query  # (G,)
+
+    sub_gt = jnp.clip(gt_rels[:, 0], 0, G - 1)
+    obj_gt = jnp.clip(gt_rels[:, 1], 0, G - 1)
+    rel_ok = rel_valid & (gt2query[sub_gt] >= 0) & (gt2query[obj_gt] >= 0)
+    gt_sub_q = jnp.where(rel_ok, gt2query[sub_gt], Q)
+    gt_obj_q = jnp.where(rel_ok, gt2query[obj_gt], Q)
+    gt_importance = (
+        jnp.zeros((Q, Q), jnp.float32).at[gt_sub_q, gt_obj_q].max(1.0, mode="drop")
+    )
+
+    gt_sub_cls = gt_labels[sub_gt]
+    gt_obj_cls = gt_labels[obj_gt]
+    gt_rel_label = gt_rels[:, 2] - 1
+    idres = id_match(
+        sub_score, obj_score, rel_score,
+        gt_sub_cls, gt_obj_cls, gt_rel_label, rel_ok,
+    )
+    matched = idres.relq2gt  # (K,)
+    safe = jnp.clip(matched, 0, Rm - 1)
+    pos = matched >= 0
+    r_labels = jnp.where(pos, gt_rel_label[safe], -1)
+    sub_ids = jnp.where(pos, gt_sub_cls[safe], -1)
+    obj_ids = jnp.where(pos, gt_obj_cls[safe], -1)
+    return r_labels, pos.astype(jnp.float32), sub_ids, obj_ids, gt_importance
+
+
+def pairnet_bbox_loss(
+    outputs,
+    batch,
+    rng,
+    cum_samples,
+    rel_loss_weight: float = 2.0,
+    subobj_loss_weight: float = 4.0,
+    match_loss_weight: float = 5.0,
+):
+    """Scene-graph losses for the bbox variant. Returns (losses, new_cum).
+
+    ``batch`` needs gt_labels/gt_boxes(xyxy px)/gt_valid/gt_rels/rel_valid/
+    image_shape. ``rng`` is unused (no point sampling) but kept for the
+    shared dispatch signature.
+    """
+    from pairnet_tpu.models.losses import (
+        bce_with_logits_pos_weight,
+        seesaw_ce,
+        softmax_ce,
+    )
+
+    del rng
+    B, K, R = outputs["rel"].shape
+    C = outputs["cls"].shape[-1]
+    sg = jax.lax.stop_gradient
+    r_labels, r_weights, sub_ids, obj_ids, gt_imp = jax.vmap(
+        _bbox_targets_single
+    )(
+        sg(outputs["cls"]), sg(outputs["box"]),
+        sg(outputs["sub"]), sg(outputs["obj"]), sg(outputs["rel"]),
+        batch["gt_labels"], batch["gt_boxes"], batch["gt_valid"],
+        batch["gt_rels"], batch["rel_valid"],
+        batch["image_shape"].astype(jnp.float32),
+    )
+    w = r_weights.reshape(-1)
+    loss_sub = softmax_ce(outputs["sub"].reshape(-1, C), sub_ids.reshape(-1), w)
+    loss_obj = softmax_ce(outputs["obj"].reshape(-1, C), obj_ids.reshape(-1), w)
+    loss_r, new_cum = seesaw_ce(
+        outputs["rel"].reshape(-1, R), r_labels.reshape(-1), w, cum_samples
+    )
+    npos = jnp.maximum(jnp.sum(gt_imp > 0), 1.0)
+    loss_match = bce_with_logits_pos_weight(
+        outputs["importance"], gt_imp, gt_imp.size / npos
+    )
+    losses = {
+        "loss_r_cls": rel_loss_weight * loss_r,
+        "loss_sub_cls": subobj_loss_weight * loss_sub,
+        "loss_obj_cls": subobj_loss_weight * loss_obj,
+        "loss_match": match_loss_weight * loss_match,
+    }
+    losses["loss_total"] = sum(losses.values())
+    return losses, new_cum
+
+
+class BoxTripletPrediction(NamedTuple):
+    """Fixed-shape per-image box-mode triplets (counterpart of the tuple at
+    ref: pairnet_bbox_head.py:1037-1106)."""
+
+    labels: jnp.ndarray  # (2K,) 1-based sub then obj
+    rel_pairs: jnp.ndarray  # (K, 2)
+    boxes: jnp.ndarray  # (2K, 4) normalized xyxy in [0,1]
+    r_dists: jnp.ndarray  # (K, R+1) with zero bg col
+    r_labels: jnp.ndarray
+    r_scores: jnp.ndarray
+
+
+def pairnet_bbox_postprocess(outputs, image_index=None, num_things: int = 0):
+    """Box-mode inference (ref: pairnet_bbox_head.py:1037-1106): softmax over
+    the gathered sub/obj class logits (+1 for 1-based), cxcywh -> xyxy,
+    predicate distribution with a zero background column prepended; triplet
+    ranking is the relation-query order (= descending top-k importance)."""
+    from pairnet_tpu.ops.boxes import cxcywh_to_xyxy
+
+    del num_things
+    b = image_index
+    get = (lambda x: x[b]) if b is not None else (lambda x: x)
+    r_cls = get(outputs["rel"])  # (K, R)
+    K, R = r_cls.shape
+    r_dists = jax.nn.softmax(r_cls.astype(jnp.float32), -1)
+    r_dists = jnp.concatenate([jnp.zeros((K, 1), jnp.float32), r_dists], -1)
+
+    def cls_lbl(logits):
+        p = jax.nn.softmax(logits.astype(jnp.float32), -1)
+        return p.argmax(-1).astype(jnp.int32) + 1, p.max(-1)
+
+    s_labels, s_scores = cls_lbl(get(outputs["sub"]))
+    o_labels, o_scores = cls_lbl(get(outputs["obj"]))
+    s_box = jnp.clip(cxcywh_to_xyxy(get(outputs["sub_box"])), 0.0, 1.0)
+    o_box = jnp.clip(cxcywh_to_xyxy(get(outputs["obj_box"])), 0.0, 1.0)
+    return BoxTripletPrediction(
+        labels=jnp.concatenate([s_labels, o_labels]),
+        rel_pairs=jnp.stack(
+            [jnp.arange(K, dtype=jnp.int32), jnp.arange(K, 2 * K, dtype=jnp.int32)],
+            -1,
+        ),
+        boxes=jnp.concatenate([s_box, o_box], 0),
+        r_dists=r_dists,
+        r_labels=r_dists[:, 1:].argmax(-1).astype(jnp.int32) + 1,
+        r_scores=r_dists[:, 1:].max(-1),
+    )

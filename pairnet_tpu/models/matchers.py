@@ -81,6 +81,54 @@ def mask_hungarian_assign(
     return MaskAssignResult(query2gt=row2col, gt2query=col2row)
 
 
+def focal_cost(
+    logits: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """mmdet FocalLossCost (binary_input=False): per-class focal pos/neg cost
+    difference indexed at the gt label (ref: mmdet match_costs; used by the
+    bbox_assigner in configs/deformable_detr/cross_r101_vg.py:158-163)."""
+    p = jax.nn.sigmoid(logits.astype(jnp.float32))
+    pos = -alpha * ((1.0 - p) ** gamma) * jnp.log(p + eps)
+    neg = -(1.0 - alpha) * (p**gamma) * jnp.log(1.0 - p + eps)
+    return (pos - neg)[:, gt_labels]  # (N, G)
+
+
+class BoxAssignResult(NamedTuple):
+    query2gt: jnp.ndarray  # (Q,) matched gt per query or -1
+    gt2query: jnp.ndarray  # (G,) matched query per valid gt
+
+
+def box_hungarian_assign(
+    cls_logits: jnp.ndarray,  # (Q, C) sigmoid-style class logits
+    boxes: jnp.ndarray,  # (Q, 4) normalized cxcywh
+    gt_labels: jnp.ndarray,  # (G,)
+    gt_boxes: jnp.ndarray,  # (G, 4) normalized cxcywh
+    gt_valid: jnp.ndarray,  # (G,) bool
+    img_hw: jnp.ndarray,  # (2,) resized image (h, w) for the gIoU scale
+    cls_weight: float = 2.0,
+    l1_weight: float = 5.0,
+    giou_weight: float = 2.0,
+) -> BoxAssignResult:
+    """mmdet HungarianAssigner with FocalLossCost 2 / BBoxL1Cost(xywh) 5 /
+    IoUCost(giou) 2 (ref: configs/deformable_detr/cross_r101_vg.py:158-163),
+    solved on-device."""
+    from pairnet_tpu.ops.boxes import cxcywh_to_xyxy, generalized_box_iou
+
+    cost = cls_weight * focal_cost(cls_logits, gt_labels)
+    cost = cost + l1_weight * jnp.abs(boxes[:, None] - gt_boxes[None]).sum(-1)
+    scale = jnp.concatenate([img_hw[::-1], img_hw[::-1]]).astype(jnp.float32)
+    giou = generalized_box_iou(
+        cxcywh_to_xyxy(boxes) * scale, cxcywh_to_xyxy(gt_boxes) * scale
+    )
+    cost = cost + giou_weight * (-giou)
+    row2col, col2row = hungarian(cost, col_mask=gt_valid)
+    return BoxAssignResult(query2gt=row2col, gt2query=col2row)
+
+
 class IdMatchResult(NamedTuple):
     relq2gt: jnp.ndarray  # (K,) gt-relation index per relation query or -1
     gt2relq: jnp.ndarray  # (R,) relation query per gt relation or -1

@@ -23,7 +23,7 @@ def build_pipeline_cfg(cfg: Config, train: bool) -> PipelineConfig:
 
 def build_dataset(cfg: Config, split: str):
     d = dict(cfg.data.dataset)
-    d.pop("type", None)
+    ds_type = d.pop("type", "PSGDataset")
     synthetic = d.pop("synthetic", False)
     if synthetic and not d.get("data_root"):
         root = os.path.join("/tmp", "pairnet_tpu_synthetic")
@@ -33,7 +33,10 @@ def build_dataset(cfg: Config, split: str):
             os.makedirs(root, exist_ok=True)
             make_synthetic_psg(root, num_images=8, num_test=3, seed=1)
         d["data_root"] = root
-    return PSGDataset(split=split, **d)
+    from pairnet_tpu.config.registry import DATASETS
+    from pairnet_tpu.data import sg  # noqa: F401  (registers SG datasets)
+
+    return DATASETS.get(ds_type)(split=split, **d)
 
 
 def build_detector(cfg: Config):

@@ -16,12 +16,21 @@ import jax.numpy as jnp
 def get_loss_fn(head_type: str, cfg) -> Callable:
     loss_cfg = dict(cfg.get("loss", {}))
 
-    if head_type == "PairNetHead" or head_type == "CrossHeadBBox":
+    if head_type == "PairNetHead":
         from pairnet_tpu.models.heads.pairnet_loss import pairnet_loss
 
         def fn(outputs, batch, rng, state):
             losses, new_cum = pairnet_loss(outputs, batch, rng, state, **loss_cfg)
             return losses, new_cum
+
+        fn.needs_cum = True
+        return fn
+
+    if head_type == "CrossHeadBBox":
+        from pairnet_tpu.models.heads.pairnet_bbox_head import pairnet_bbox_loss
+
+        def fn(outputs, batch, rng, state):
+            return pairnet_bbox_loss(outputs, batch, rng, state, **loss_cfg)
 
         fn.needs_cum = True
         return fn
@@ -102,4 +111,10 @@ def get_postprocess_fn(head_type: str) -> Callable:
         from pairnet_tpu.models.heads.psgtr2_head import psgtr2_postprocess
 
         return psgtr2_postprocess
+    if head_type == "CrossHeadBBox":
+        from pairnet_tpu.models.heads.pairnet_bbox_head import (
+            pairnet_bbox_postprocess,
+        )
+
+        return pairnet_bbox_postprocess
     raise KeyError(f"no postprocess dispatch for head type '{head_type}'")

@@ -31,3 +31,73 @@ def test_forward_shapes_and_refinement():
     # RMSNorm relation decoder params exist
     assert "relation_layer_0" in params["params"]["bbox_head"]
     assert "w1" in params["params"]["bbox_head"]["relation_layer_0"]["ffn"]
+
+
+def _tiny_bbox_batch(rng, B=2, G=4, Rm=5):
+    gt_boxes = np.zeros((B, G, 4), np.float32)
+    x0 = rng.uniform(0, 30, (B, G))
+    y0 = rng.uniform(0, 30, (B, G))
+    gt_boxes[..., 0] = x0
+    gt_boxes[..., 1] = y0
+    gt_boxes[..., 2] = x0 + rng.uniform(8, 30, (B, G))
+    gt_boxes[..., 3] = y0 + rng.uniform(8, 30, (B, G))
+    rels = rng.integers(0, G, (B, Rm, 3))
+    rels[..., 2] = rng.integers(1, 6, (B, Rm))  # 1-based predicates
+    return {
+        "gt_labels": jnp.asarray(rng.integers(0, 10, (B, G))),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_valid": jnp.asarray(np.array([[1, 1, 1, 0]] * B, bool)),
+        "gt_rels": jnp.asarray(rels),
+        "rel_valid": jnp.asarray(np.array([[1, 1, 1, 0, 0]] * B, bool)),
+        "image_shape": jnp.asarray(np.full((B, 2), 64, np.int32)),
+    }
+
+
+def test_bbox_loss_and_postprocess():
+    from pairnet_tpu.models.heads.pairnet_bbox_head import (
+        pairnet_bbox_loss,
+        pairnet_bbox_postprocess,
+    )
+
+    head = CrossHeadBBox(
+        num_classes=10, num_relations=5, num_obj_query=16, num_rel_query=12,
+        embed_dims=32, num_heads=4, num_encoder_layers=1,
+        num_decoder_layers=1, num_relation_layers=1, num_levels=4,
+    )
+    model = PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    batch = _tiny_bbox_batch(rng)
+    # rels referencing the padded gt slot are invalid by construction
+    cum = jnp.zeros((5,), jnp.float32)
+
+    def loss_fn(p):
+        out = model.apply({**variables, "params": p}, img)
+        losses, new_cum = pairnet_bbox_loss(out, batch, None, cum)
+        return losses["loss_total"], (losses, new_cum)
+
+    (total, (losses, new_cum)), grads = jax.jit(
+        lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p)
+    )(variables["params"])
+    assert np.isfinite(float(total))
+    for k in ("loss_r_cls", "loss_sub_cls", "loss_obj_cls", "loss_match"):
+        assert np.isfinite(float(losses[k])), k
+    # Seesaw counts were updated from the matched predicates
+    assert float(new_cum.sum()) > 0
+    # scene-graph branches receive gradient
+    g = grads["bbox_head"]["rel_cls_embed"]["kernel"]
+    assert float(jnp.abs(g).max()) > 0
+    g2 = grads["bbox_head"]["sub_query_update"]["layers_0"]["kernel"]
+    assert float(jnp.abs(g2).max()) > 0
+
+    out = jax.jit(model.apply)(variables, img)
+    pred = pairnet_bbox_postprocess(out, image_index=0)
+    K = 12
+    assert pred.labels.shape == (2 * K,)
+    assert pred.boxes.shape == (2 * K, 4)
+    assert pred.r_dists.shape == (K, 6)  # zero bg col prepended
+    np.testing.assert_allclose(np.asarray(pred.r_dists[:, 0]), 0.0)
+    b = np.asarray(pred.boxes)
+    assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+    assert int(pred.labels.min()) >= 1  # 1-based
