@@ -189,6 +189,55 @@ def convert_pairnet_head(sd: Mapping, prefix: str = "bbox_head.") -> dict:
     return p
 
 
+def _relation_decoder(p: dict, sd: Mapping, prefix: str) -> None:
+    """Shared relation-fusion decoder naming (cross/self attn + 3 norms +
+    2-layer FFN per layer, mmcv DetrTransformerDecoderLayer layout)."""
+    i = 0
+    while f"{prefix}relation_decoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{prefix}relation_decoder.layers.{i}"
+        out = f"relation_layer_{i}"
+        _mha(p, f"{out}/cross_attn", sd, f"{src}.attentions.0.attn")
+        _mha(p, f"{out}/self_attn", sd, f"{src}.attentions.1.attn")
+        _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+        _norm(p, f"{out}/norm3", sd, f"{src}.norms.2")
+        _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+        i += 1
+
+
+def convert_baseline_head(sd: Mapping, prefix: str = "bbox_head.") -> dict:
+    """Reference CrossHeadBaseline / CrossHead4 (baseline.py:60-195,
+    baseline_seesaw.py) -> our BaselineHead subtree: the Pair-Net segmenter
+    naming minus the Matrix Learner and the extra rel pos tables, plus
+    prototype-matching sub/obj MLPs."""
+    p: dict = {}
+    sub = convert_pixel_decoder(sd, f"{prefix}pixel_decoder.")
+    p.update({f"pixel_decoder/{k}": v for k, v in sub.items()})
+    sub = convert_transformer_decoder(sd, f"{prefix}transformer_decoder.", prefix)
+    p.update({f"transformer_decoder/{k}": v for k, v in sub.items()})
+    for name in ("sub_query_update", "obj_query_update"):
+        for j, li in enumerate((0, 2, 4)):
+            _linear(p, f"{name}/layers_{j}", sd, f"{prefix}{name}.{li}")
+    _linear(p, "rel_cls_embed", sd, f"{prefix}rel_cls_embed")
+    for name in ("rel_query_feat", "rel_query_embed"):
+        p[name] = _t(sd[f"{prefix}{name}.weight"])
+    _relation_decoder(p, sd, prefix)
+    return p
+
+
+def convert_baseline_checkpoint(sd: Mapping) -> dict:
+    """Full reference baseline (PSGTr + CrossHeadBaseline) -> variables
+    matching PSGTr(ResNet, BaselineHead).init."""
+    sd = sd.get("state_dict", sd)
+    bb_params, bb_consts = convert_resnet(sd, "backbone.")
+    head = convert_baseline_head(sd, "bbox_head.")
+    return {
+        "params": {"backbone": unflatten(bb_params), "bbox_head": unflatten(head)},
+        "constants": {"backbone": unflatten(bb_consts)},
+    }
+
+
 def unflatten(flat: Mapping) -> dict:
     tree: dict = {}
     for key, val in flat.items():

@@ -141,6 +141,41 @@ def _make_reference_state_dict(C=32, n_cls=7, n_rel=5, Q=20, K=16,
     return sd
 
 
+def test_full_baseline_checkpoint_roundtrip():
+    from pairnet_tpu.models.heads.baseline_head import BaselineHead
+    from pairnet_tpu.utils.torch_convert import convert_baseline_checkpoint
+
+    C, n_cls, n_rel, Q, K = 32, 7, 5, 20, 16
+    sd = _make_reference_state_dict(C=C, n_cls=n_cls, n_rel=n_rel, Q=Q, K=K)
+    # strip the Pair-Net-only parts, add the baseline rel classifier (R+1)
+    for k in list(sd):
+        if "update_importance" in k or "rel_query_embed2" in k or "rel_query_embed3" in k:
+            del sd[k]
+    _lin(sd, "bbox_head.rel_cls_embed", C, n_rel + 1)
+
+    head = BaselineHead(
+        num_classes=n_cls, num_relations=n_rel, num_obj_query=Q,
+        num_rel_query=K, embed_dims=C, num_heads=4, num_decoder_layers=3,
+        num_relation_layers=2, pixel_decoder_layers=1,
+    )
+    model = PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), variables
+    )
+    converted = convert_baseline_checkpoint(sd)
+    merged = merge_pretrained(dict(variables), converted)
+    got = merged["params"]["bbox_head"]["rel_cls_embed"]["kernel"]
+    want = sd["bbox_head.rel_cls_embed.weight"].numpy().T
+    np.testing.assert_allclose(np.asarray(got), want)
+    got = merged["params"]["bbox_head"]["rel_query_feat"]
+    np.testing.assert_allclose(
+        np.asarray(got), sd["bbox_head.rel_query_feat.weight"].numpy()
+    )
+
+
 def test_full_pairnet_checkpoint_roundtrip():
     head = PairNetHead(
         num_classes=7, num_relations=5, num_obj_query=20, num_rel_query=16,
