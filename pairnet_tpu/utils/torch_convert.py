@@ -238,6 +238,70 @@ def convert_baseline_checkpoint(sd: Mapping) -> dict:
     }
 
 
+def convert_psgtr_head(sd: Mapping, prefix: str = "bbox_head.") -> dict:
+    """Reference PSGTrHead (psgtr_head.py:170-268: DETR transformer +
+    per-query triplet heads + MHAttentionMap/MaskHeadSmallConv mask branch)
+    -> our PSGTrHead subtree (flat '/'-keyed)."""
+    p: dict = {}
+    _conv(p, "input_proj", sd, f"{prefix}input_proj")
+    p["query_embed"] = _t(sd[f"{prefix}query_embed.weight"])
+    # mmdet DetrTransformer: encoder self_attn/norm/ffn/norm,
+    # decoder self_attn/norm/cross_attn/norm/ffn/norm + shared post_norm
+    i = 0
+    while f"{prefix}transformer.encoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{prefix}transformer.encoder.layers.{i}"
+        out = f"transformer/enc_{i}"
+        _mha(p, f"{out}/self_attn", sd, f"{src}.attentions.0.attn")
+        _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+        _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+        i += 1
+    i = 0
+    while f"{prefix}transformer.decoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{prefix}transformer.decoder.layers.{i}"
+        out = f"transformer/dec_{i}"
+        _mha(p, f"{out}/self_attn", sd, f"{src}.attentions.0.attn")
+        _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+        _mha(p, f"{out}/cross_attn", sd, f"{src}.attentions.1.attn")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+        _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+        _norm(p, f"{out}/norm3", sd, f"{src}.norms.2")
+        i += 1
+    _norm(p, "transformer/post_norm", sd, f"{prefix}transformer.decoder.post_norm")
+    for name in ("sub_cls_embed", "obj_cls_embed", "rel_cls_embed"):
+        _linear(p, name, sd, f"{prefix}{name}")
+    for name in ("sub_box_embed", "obj_box_embed"):
+        for j in range(3):
+            _linear(p, f"{name}/layers_{j}", sd, f"{prefix}{name}.layers.{j}")
+    if f"{prefix}sub_bbox_attention.q_linear.weight" in sd:
+        for side in ("sub", "obj"):
+            for lin in ("q_linear", "k_linear"):
+                _linear(p, f"{side}_bbox_attention/{lin}", sd,
+                        f"{prefix}{side}_bbox_attention.{lin}")
+            mh = f"{prefix}{side}_mask_head"
+            for j in range(1, 6):
+                _conv(p, f"{side}_mask_head/lay{j}", sd, f"{mh}.lay{j}")
+                _norm(p, f"{side}_mask_head/gn{j}", sd, f"{mh}.gn{j}")
+            for j in range(1, 4):
+                _conv(p, f"{side}_mask_head/adapter{j}", sd, f"{mh}.adapter{j}")
+            _conv(p, f"{side}_mask_head/out_lay", sd, f"{mh}.out_lay")
+    return p
+
+
+def convert_psgtr_checkpoint(sd: Mapping) -> dict:
+    """Full reference PSGTr checkpoint -> variables matching
+    PSGTr(ResNet, PSGTrHead).init."""
+    sd = sd.get("state_dict", sd)
+    bb_params, bb_consts = convert_resnet(sd, "backbone.")
+    head = convert_psgtr_head(sd, "bbox_head.")
+    return {
+        "params": {"backbone": unflatten(bb_params), "bbox_head": unflatten(head)},
+        "constants": {"backbone": unflatten(bb_consts)},
+    }
+
+
 def unflatten(flat: Mapping) -> dict:
     tree: dict = {}
     for key, val in flat.items():

@@ -141,6 +141,77 @@ def _make_reference_state_dict(C=32, n_cls=7, n_rel=5, Q=20, K=16,
     return sd
 
 
+def test_full_psgtr_checkpoint_roundtrip():
+    from pairnet_tpu.models.heads.psgtr_head import PSGTrHead
+    from pairnet_tpu.utils.torch_convert import convert_psgtr_checkpoint
+
+    C, n_cls, n_rel, Q, width = 64, 7, 5, 10, 16
+    sd = {}
+    # backbone (reuse the ResNet fixture from the full builder)
+    full = _make_reference_state_dict(width=width)
+    sd.update({k: v for k, v in full.items() if k.startswith("backbone.")})
+    h = "bbox_head."
+    _conv(sd, f"{h}input_proj", width * 32, C, 1)
+    sd[f"{h}query_embed.weight"] = torch.randn(Q, C)
+    for i in range(2):
+        pre = f"{h}transformer.encoder.layers.{i}"
+        _mha(sd, f"{pre}.attentions.0.attn", C)
+        _norm(sd, f"{pre}.norms.0", C)
+        _norm(sd, f"{pre}.norms.1", C)
+        _ffn(sd, f"{pre}.ffns.0", C, 2048)
+    for i in range(2):
+        pre = f"{h}transformer.decoder.layers.{i}"
+        _mha(sd, f"{pre}.attentions.0.attn", C)
+        _mha(sd, f"{pre}.attentions.1.attn", C)
+        for n in range(3):
+            _norm(sd, f"{pre}.norms.{n}", C)
+        _ffn(sd, f"{pre}.ffns.0", C, 2048)
+    _norm(sd, f"{h}transformer.decoder.post_norm", C)
+    for name, dout in (("sub_cls_embed", n_cls + 1), ("obj_cls_embed", n_cls + 1),
+                       ("rel_cls_embed", n_rel + 1)):
+        _lin(sd, f"{h}{name}", C, dout)
+    for name in ("sub_box_embed", "obj_box_embed"):
+        _lin(sd, f"{h}{name}.layers.0", C, C)
+        _lin(sd, f"{h}{name}.layers.1", C, C)
+        _lin(sd, f"{h}{name}.layers.2", C, 4)
+    heads = 4
+    dim = C + heads
+    inter = [dim, C // 2, C // 4, C // 8, C // 16, max(C // 64, 1)]
+    fpn_dims = [width * 16, width * 8, width * 4]  # C4, C3, C2
+    for side in ("sub", "obj"):
+        _lin(sd, f"{h}{side}_bbox_attention.q_linear", C, C)
+        _lin(sd, f"{h}{side}_bbox_attention.k_linear", C, C)
+        mh = f"{h}{side}_mask_head"
+        _conv(sd, f"{mh}.lay1", dim, dim, 3)
+        _norm(sd, f"{mh}.gn1", dim)
+        for j in range(2, 6):
+            _conv(sd, f"{mh}.lay{j}", inter[j - 2] if j > 2 else dim, inter[j - 1], 3)
+            _norm(sd, f"{mh}.gn{j}", inter[j - 1])
+        for j in range(1, 4):
+            _conv(sd, f"{mh}.adapter{j}", fpn_dims[j - 1], inter[j], 1)
+        _conv(sd, f"{mh}.out_lay", inter[4], 1, 3)
+
+    head = PSGTrHead(
+        num_classes=n_cls, num_relations=n_rel, num_query=Q, embed_dims=C,
+        num_heads=heads, num_encoder_layers=2, num_decoder_layers=2,
+    )
+    model = PSGTr(backbone=ResNet(depth=50, base_width=width), bbox_head=head)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), variables
+    )
+    converted = convert_psgtr_checkpoint(sd)
+    merged = merge_pretrained(dict(variables), converted)
+    got = merged["params"]["bbox_head"]["sub_mask_head"]["out_lay"]["kernel"]
+    want = sd["bbox_head.sub_mask_head.out_lay.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(got), want)
+    got = merged["params"]["bbox_head"]["transformer"]["dec_1"]["cross_attn"]["q_proj"]["bias"]
+    want = sd["bbox_head.transformer.decoder.layers.1.attentions.1.attn.in_proj_bias"].numpy()[:C]
+    np.testing.assert_allclose(np.asarray(got), want)
+
+
 def test_full_baseline_checkpoint_roundtrip():
     from pairnet_tpu.models.heads.baseline_head import BaselineHead
     from pairnet_tpu.utils.torch_convert import convert_baseline_checkpoint
