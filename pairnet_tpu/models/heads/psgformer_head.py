@@ -98,7 +98,9 @@ class PSGFormerHead(nn.Module):
         self.box_embed = MLP(C, 4, 3, name="box_embed")
         self.sub_query_update = MLP(C, C, 2, name="sub_query_update")
         self.obj_query_update = MLP(C, C, 2, name="obj_query_update")
-        self.rel_cls_embed = nn.Dense(self.num_relations + 1, name="rel_cls_embed")
+        # 2-layer classifier like the reference Sequential(Linear, ReLU,
+        # Linear) (ref: psgformer_head.py:226-230)
+        self.rel_cls_embed = MLP(C, self.num_relations + 1, 2, name="rel_cls_embed")
         self.bbox_attention = MHAttentionMap(C, C, self.num_heads, name="bbox_attention")
         self.mask_head = MaskHeadSmallConv(C + self.num_heads, C, name="mask_head")
 

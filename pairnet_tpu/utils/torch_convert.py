@@ -290,6 +290,70 @@ def convert_psgtr_head(sd: Mapping, prefix: str = "bbox_head.") -> dict:
     return p
 
 
+def convert_psgformer_head(sd: Mapping, prefix: str = "bbox_head.") -> dict:
+    """Reference PSGFormerHead (psgformer_head.py:186-238: DualTransformer
+    shared encoder + two DETR decoders, prototype-matching updates, mask
+    branch) -> our PSGFormerHead subtree."""
+    p: dict = {}
+    _conv(p, "input_proj", sd, f"{prefix}input_proj")
+    for name in ("obj_query_embed", "rel_query_embed"):
+        p[name] = _t(sd[f"{prefix}{name}.weight"])
+    i = 0
+    while f"{prefix}transformer.encoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{prefix}transformer.encoder.layers.{i}"
+        out = f"transformer/enc_{i}"
+        _mha(p, f"{out}/self_attn", sd, f"{src}.attentions.0.attn")
+        _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+        _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+        i += 1
+    for dec_in, dec_out in (("decoder1", "dec1"), ("decoder2", "dec2")):
+        i = 0
+        while f"{prefix}transformer.{dec_in}.layers.{i}.norms.0.weight" in sd:
+            src = f"{prefix}transformer.{dec_in}.layers.{i}"
+            out = f"transformer/{dec_out}_{i}"
+            _mha(p, f"{out}/self_attn", sd, f"{src}.attentions.0.attn")
+            _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+            _mha(p, f"{out}/cross_attn", sd, f"{src}.attentions.1.attn")
+            _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+            _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+            _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+            _norm(p, f"{out}/norm3", sd, f"{src}.norms.2")
+            i += 1
+        _norm(p, f"transformer/{dec_out}_post_norm", sd,
+              f"{prefix}transformer.{dec_in}.post_norm")
+    _linear(p, "class_embed", sd, f"{prefix}class_embed")
+    for j in range(3):
+        _linear(p, f"box_embed/layers_{j}", sd, f"{prefix}box_embed.layers.{j}")
+    # 2-layer Sequential(Linear, ReLU, Linear) updates and rel classifier
+    for name in ("sub_query_update", "obj_query_update", "rel_cls_embed"):
+        for j, li in enumerate((0, 2)):
+            _linear(p, f"{name}/layers_{j}", sd, f"{prefix}{name}.{li}")
+    for lin in ("q_linear", "k_linear"):
+        _linear(p, f"bbox_attention/{lin}", sd, f"{prefix}bbox_attention.{lin}")
+    mh = f"{prefix}mask_head"
+    for j in range(1, 6):
+        _conv(p, f"mask_head/lay{j}", sd, f"{mh}.lay{j}")
+        _norm(p, f"mask_head/gn{j}", sd, f"{mh}.gn{j}")
+    for j in range(1, 4):
+        _conv(p, f"mask_head/adapter{j}", sd, f"{mh}.adapter{j}")
+    _conv(p, f"mask_head/out_lay", sd, f"{mh}.out_lay")
+    return p
+
+
+def convert_psgformer_checkpoint(sd: Mapping) -> dict:
+    """Full reference PSGFormer checkpoint -> variables matching
+    PSGTr(ResNet, PSGFormerHead).init."""
+    sd = sd.get("state_dict", sd)
+    bb_params, bb_consts = convert_resnet(sd, "backbone.")
+    head = convert_psgformer_head(sd, "bbox_head.")
+    return {
+        "params": {"backbone": unflatten(bb_params), "bbox_head": unflatten(head)},
+        "constants": {"backbone": unflatten(bb_consts)},
+    }
+
+
 def convert_psgtr_checkpoint(sd: Mapping) -> dict:
     """Full reference PSGTr checkpoint -> variables matching
     PSGTr(ResNet, PSGTrHead).init."""

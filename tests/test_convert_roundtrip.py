@@ -212,6 +212,77 @@ def test_full_psgtr_checkpoint_roundtrip():
     np.testing.assert_allclose(np.asarray(got), want)
 
 
+def test_full_psgformer_checkpoint_roundtrip():
+    from pairnet_tpu.models.heads.psgformer_head import PSGFormerHead
+    from pairnet_tpu.utils.torch_convert import convert_psgformer_checkpoint
+
+    C, n_cls, n_rel, Q, K, width = 64, 7, 5, 10, 8, 16
+    full = _make_reference_state_dict(width=width)
+    sd = {k: v for k, v in full.items() if k.startswith("backbone.")}
+    h = "bbox_head."
+    _conv(sd, f"{h}input_proj", width * 32, C, 1)
+    sd[f"{h}obj_query_embed.weight"] = torch.randn(Q, C)
+    sd[f"{h}rel_query_embed.weight"] = torch.randn(K, C)
+    for i in range(2):
+        pre = f"{h}transformer.encoder.layers.{i}"
+        _mha(sd, f"{pre}.attentions.0.attn", C)
+        _norm(sd, f"{pre}.norms.0", C)
+        _norm(sd, f"{pre}.norms.1", C)
+        _ffn(sd, f"{pre}.ffns.0", C, 2048)
+    for dec in ("decoder1", "decoder2"):
+        for i in range(2):
+            pre = f"{h}transformer.{dec}.layers.{i}"
+            _mha(sd, f"{pre}.attentions.0.attn", C)
+            _mha(sd, f"{pre}.attentions.1.attn", C)
+            for n in range(3):
+                _norm(sd, f"{pre}.norms.{n}", C)
+            _ffn(sd, f"{pre}.ffns.0", C, 2048)
+        _norm(sd, f"{h}transformer.{dec}.post_norm", C)
+    _lin(sd, f"{h}class_embed", C, n_cls + 1)
+    for j in range(3):
+        _lin(sd, f"{h}box_embed.layers.{j}", C, 4 if j == 2 else C)
+    for name, dout in (("sub_query_update", C), ("obj_query_update", C),
+                       ("rel_cls_embed", n_rel + 1)):
+        _lin(sd, f"{h}{name}.0", C, C)
+        _lin(sd, f"{h}{name}.2", C, dout)
+    heads = 4
+    dim = C + heads
+    inter = [dim, C // 2, C // 4, C // 8, C // 16, max(C // 64, 1)]
+    fpn_dims = [width * 16, width * 8, width * 4]
+    _lin(sd, f"{h}bbox_attention.q_linear", C, C)
+    _lin(sd, f"{h}bbox_attention.k_linear", C, C)
+    mh = f"{h}mask_head"
+    _conv(sd, f"{mh}.lay1", dim, dim, 3)
+    _norm(sd, f"{mh}.gn1", dim)
+    for j in range(2, 6):
+        _conv(sd, f"{mh}.lay{j}", inter[j - 2] if j > 2 else dim, inter[j - 1], 3)
+        _norm(sd, f"{mh}.gn{j}", inter[j - 1])
+    for j in range(1, 4):
+        _conv(sd, f"{mh}.adapter{j}", fpn_dims[j - 1], inter[j], 1)
+    _conv(sd, f"{mh}.out_lay", inter[4], 1, 3)
+
+    head = PSGFormerHead(
+        num_classes=n_cls, num_relations=n_rel, num_obj_query=Q,
+        num_rel_query=K, embed_dims=C, num_heads=heads,
+        num_encoder_layers=2, num_decoder_layers=2,
+    )
+    model = PSGTr(backbone=ResNet(depth=50, base_width=width), bbox_head=head)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), variables
+    )
+    converted = convert_psgformer_checkpoint(sd)
+    merged = merge_pretrained(dict(variables), converted)
+    got = merged["params"]["bbox_head"]["rel_cls_embed"]["layers_1"]["kernel"]
+    want = sd["bbox_head.rel_cls_embed.2.weight"].numpy().T
+    np.testing.assert_allclose(np.asarray(got), want)
+    got = merged["params"]["bbox_head"]["transformer"]["dec2_post_norm"]["scale"]
+    want = sd["bbox_head.transformer.decoder2.post_norm.weight"].numpy()
+    np.testing.assert_allclose(np.asarray(got), want)
+
+
 def test_full_baseline_checkpoint_roundtrip():
     from pairnet_tpu.models.heads.baseline_head import BaselineHead
     from pairnet_tpu.utils.torch_convert import convert_baseline_checkpoint
