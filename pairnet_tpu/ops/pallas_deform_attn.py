@@ -37,10 +37,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TQ = 64  # query-tile rows (small tiles keep per-tile index ranges tight)
-TS = 1024  # value-tile rows (large tiles amortize the s-loop overhead)
-# Swept on v5e at encoder level-0 geometry (B4 H8 Q21k, +-0.03 offsets):
-# (TQ,TS)=(64,1024) 174ms vs (256,512) 199ms, (256,256) 245ms, (64,2048) 202ms.
+import os as _os
+
+TQ = int(_os.environ.get("PAIRNET_DEFORM_TQ", "64"))  # query-tile rows
+TS = int(_os.environ.get("PAIRNET_DEFORM_TS", "1024"))  # value-tile rows
+# Small query tiles keep per-tile index ranges tight; large value tiles
+# amortize the s-loop overhead. Swept on v5e at encoder level-0 geometry
+# (B4 H8 Q21k, +-0.03 offsets): (64,1024) 174ms vs (256,512) 199ms,
+# (256,256) 245ms, (64,2048) 202ms. Env overrides for re-tuning.
 
 
 def _cdiv(a, b):

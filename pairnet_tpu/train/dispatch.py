@@ -71,6 +71,15 @@ def get_loss_fn(head_type: str, cfg) -> Callable:
         fn.needs_cum = False
         return fn
 
+    if head_type == "Detr4SegHead":
+        from pairnet_tpu.models.heads.detr4seg_head import detr4seg_loss
+
+        def fn(outputs, batch, rng, state):
+            return detr4seg_loss(outputs, batch, rng, **loss_cfg), state
+
+        fn.needs_cum = False
+        return fn
+
     if head_type in ("MotifHead", "IMPHead", "GPSHead", "VCTreeHead"):
         from pairnet_tpu.models.heads.twostage.heads import twostage_loss
 
@@ -117,4 +126,8 @@ def get_postprocess_fn(head_type: str) -> Callable:
         )
 
         return pairnet_bbox_postprocess
+    if head_type == "Detr4SegHead":
+        from pairnet_tpu.models.heads.detr4seg_head import detr4seg_postprocess
+
+        return detr4seg_postprocess
     raise KeyError(f"no postprocess dispatch for head type '{head_type}'")
