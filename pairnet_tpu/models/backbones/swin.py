@@ -107,22 +107,30 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
         B, H, W, C = x.shape
-        w = min(self.window, H, W)
-        shift = self.shift if w == self.window else 0
+        w = self.window  # mmdet keeps the window and pads, never shrinks
+        shift = self.shift
 
         y = nn.LayerNorm(name="norm1")(x)
+        # mmdet ShiftWindowMSA pads the normed map (zeros) up to window
+        # multiples; padded tokens participate in unshifted-window attention
+        # (bias-only keys), and the shifted-window mask is built over the
+        # PADDED extent — replicated here for conversion parity
+        Hp, Wp = -(-H // w) * w, -(-W // w) * w
+        if (Hp, Wp) != (H, W):
+            y = jnp.pad(y, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         if shift:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_mask(H, W, w, shift))
+            mask = jnp.asarray(_shift_mask(Hp, Wp, w, shift))
         else:
             mask = None
         wins = _window_partition(y, w)
         wins = WindowAttention(self.dim, self.num_heads, w, name="attn")(
-            wins.reshape(B, -1, w * w, C).reshape(-1, w * w, C), mask
+            wins, mask
         )
-        y = _window_reverse(wins, w, B, H, W)
+        y = _window_reverse(wins, w, B, Hp, Wp)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :H, :W]
         x = x + y
 
         y = nn.LayerNorm(name="norm2")(x)
@@ -138,7 +146,12 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        if H % 2 or W % 2:  # mmdet PatchMerging zero-pads odd extents
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+            B, H, W, C = x.shape
         x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+        # 4C order = (ky, kx, c); mmdet's nn.Unfold emits (c, ky, kx) — the
+        # checkpoint converter permutes norm/reduction weights to match
         x = x.reshape(B, H // 2, W // 2, 4 * C)
         x = nn.LayerNorm(name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, name="reduction")(x)

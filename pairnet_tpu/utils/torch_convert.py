@@ -94,6 +94,64 @@ def convert_resnet(sd: Mapping, prefix: str = "") -> tuple[dict, dict]:
     return params, consts
 
 
+def convert_swin(sd: Mapping, prefix: str = "") -> dict:
+    """mmdet SwinTransformer state_dict -> our SwinTransformer params (flat).
+
+    Handles the three packing deltas vs our flax module:
+    * qkv packed Linear (3C, C): plain transpose (row order q|k|v matches
+      our post-Dense split),
+    * PatchMerging 4C feature order: mmdet's nn.Unfold emits (c, ky, kx),
+      ours is (ky, kx, c) — reduction kernel rows and norm params are
+      permuted accordingly,
+    * relative_position_index buffers are recomputed by the module (not
+      loaded).
+
+    Ref: the reference Swin-B flagship row (SURVEY.md §6,
+    configs/mask2former/pairnet_swinb-class setup).
+    """
+    p: dict = {}
+    g = lambda k: f"{prefix}{k}"
+    _conv(p, "patch_embed", sd, g("patch_embed.projection"))
+    _norm(p, "patch_norm", sd, g("patch_embed.norm"))
+
+    stage_re = re.compile(
+        rf"^{re.escape(prefix)}stages\.(\d+)\.blocks\.(\d+)\."
+    )
+    blocks = sorted(
+        {(int(m.group(1)), int(m.group(2))) for k in sd if (m := stage_re.match(k))}
+    )
+    for s, b in blocks:
+        src = f"{prefix}stages.{s}.blocks.{b}"
+        out = f"stage{s}_block{b}"
+        _norm(p, f"{out}/norm1", sd, f"{src}.norm1")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norm2")
+        _linear(p, f"{out}/attn/qkv", sd, f"{src}.attn.w_msa.qkv")
+        _linear(p, f"{out}/attn/proj", sd, f"{src}.attn.w_msa.proj")
+        p[f"{out}/attn/relative_position_bias_table"] = _t(
+            sd[f"{src}.attn.w_msa.relative_position_bias_table"]
+        )
+        _linear(p, f"{out}/mlp_fc1", sd, f"{src}.ffn.layers.0.0")
+        _linear(p, f"{out}/mlp_fc2", sd, f"{src}.ffn.layers.1")
+
+    n_stages = max(s for s, _ in blocks) + 1
+    for s in range(n_stages - 1):
+        src = f"{prefix}stages.{s}.downsample"
+        if f"{src}.reduction.weight" not in sd:
+            continue
+        red = _t(sd[f"{src}.reduction.weight"])  # (2C, 4C) torch
+        C4 = red.shape[1]
+        C = C4 // 4
+        m = np.arange(C4)
+        tmap = (m % C) * 4 + m // C  # ours (ky,kx,c) -> mmdet unfold (c,ky,kx)
+        p[f"merge{s}/reduction/kernel"] = red.T[tmap]
+        p[f"merge{s}/norm/scale"] = _t(sd[f"{src}.norm.weight"])[tmap]
+        p[f"merge{s}/norm/bias"] = _t(sd[f"{src}.norm.bias"])[tmap]
+    for s in range(n_stages):
+        if f"{prefix}norm{s}.weight" in sd:
+            _norm(p, f"out_norm{s}", sd, g(f"norm{s}"))
+    return p
+
+
 def convert_pixel_decoder(sd: Mapping, prefix: str) -> dict:
     """mmdet MSDeformAttnPixelDecoder -> our pixel_decoder subtree (flat)."""
     p: dict = {}
@@ -384,8 +442,15 @@ def convert_pairnet_checkpoint(sd: Mapping) -> dict:
     PSGTr(ResNet, PairNetHead).init.
     """
     sd = sd.get("state_dict", sd)
-    bb_params, bb_consts = convert_resnet(sd, "backbone.")
     head = convert_pairnet_head(sd, "bbox_head.")
+    if "backbone.patch_embed.projection.weight" in sd:  # Swin-B flagship
+        bb_params = convert_swin(sd, "backbone.")
+        params = {
+            "backbone": unflatten(bb_params),
+            "bbox_head": unflatten(head),
+        }
+        return {"params": params, "constants": {}}
+    bb_params, bb_consts = convert_resnet(sd, "backbone.")
     params = {
         "backbone": unflatten(bb_params),
         "bbox_head": unflatten(head),

@@ -1,0 +1,262 @@
+"""Swin converter parity: mmdet-style torch Swin vs converted flax Swin.
+
+The torch mirror below reimplements mmdet's SwinTransformer semantics
+(ShiftWindowMSA zero-padding to window multiples, Unfold-ordered
+PatchMerging, per-stage out norms) with mmdet state-dict naming, so
+convert_swin is exercised end-to-end numerically without mmdet installed.
+Ref: SURVEY.md §6 Swin-B flagship row.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from pairnet_tpu.models.backbones.swin import SwinTransformer  # noqa: E402
+from pairnet_tpu.utils.torch_convert import convert_swin, unflatten  # noqa: E402
+
+torch.manual_seed(0)
+
+
+class _WindowMSA(tnn.Module):
+    def __init__(self, C, H, w):
+        super().__init__()
+        self.heads, self.window = H, w
+        self.scale = (C // H) ** -0.5
+        self.qkv = tnn.Linear(C, 3 * C)
+        self.proj = tnn.Linear(C, C)
+        self.relative_position_bias_table = tnn.Parameter(
+            torch.randn((2 * w - 1) ** 2, H) * 0.5
+        )
+        coords = torch.stack(
+            torch.meshgrid(torch.arange(w), torch.arange(w), indexing="ij")
+        ).flatten(1)
+        rel = (coords[:, :, None] - coords[:, None, :]).permute(1, 2, 0)
+        rel = rel + (w - 1)
+        idx = rel[..., 0] * (2 * w - 1) + rel[..., 1]
+        self.register_buffer("relative_position_index", idx)
+
+    def forward(self, x, mask=None):
+        B_, N, C = x.shape
+        H, D = self.heads, C // self.heads
+        qkv = self.qkv(x).reshape(B_, N, 3, H, D).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.reshape(-1)
+        ].reshape(N, N, H).permute(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.view(B_ // nW, nW, H, N, N) + mask[None, :, None]
+            attn = attn.view(B_, H, N, N)
+        attn = attn.softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(B_, N, C)
+        return self.proj(out)
+
+
+class _ShiftWindowMSA(tnn.Module):
+    """mmdet ShiftWindowMSA: zero-pad to window multiples; padded-extent
+    shift mask; crop after reverse."""
+
+    def __init__(self, C, H, w, shift):
+        super().__init__()
+        self.w, self.shift = w, shift
+        self.w_msa = _WindowMSA(C, H, w)
+
+    def forward(self, x):  # (B, H, W, C)
+        B, Hh, Ww, C = x.shape
+        w, s = self.w, self.shift
+        Hp, Wp = -(-Hh // w) * w, -(-Ww // w) * w
+        x = tnn.functional.pad(x, (0, 0, 0, Wp - Ww, 0, Hp - Hh))
+        if s:
+            x = torch.roll(x, (-s, -s), (1, 2))
+            img = torch.zeros(Hp, Wp)
+            cnt = 0
+            for hs in (slice(0, -w), slice(-w, -s), slice(-s, None)):
+                for ws in (slice(0, -w), slice(-w, -s), slice(-s, None)):
+                    img[hs, ws] = cnt
+                    cnt += 1
+            wins = img.view(Hp // w, w, Wp // w, w).permute(0, 2, 1, 3)
+            wins = wins.reshape(-1, w * w)
+            mask = wins[:, :, None] - wins[:, None, :]
+            mask = torch.where(mask != 0, torch.tensor(-100.0), torch.tensor(0.0))
+        else:
+            mask = None
+        xw = x.view(B, Hp // w, w, Wp // w, w, C).permute(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(-1, w * w, C)
+        xw = self.w_msa(xw, mask)
+        x = xw.view(B, Hp // w, Wp // w, w, w, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, Hp, Wp, C)
+        if s:
+            x = torch.roll(x, (s, s), (1, 2))
+        return x[:, :Hh, :Ww]
+
+
+class _FFN(tnn.Module):
+    def __init__(self, C, ratio=4.0):
+        super().__init__()
+        hidden = int(C * ratio)
+        self.layers = tnn.Sequential(
+            tnn.Sequential(tnn.Linear(C, hidden), tnn.GELU()),
+            tnn.Linear(hidden, C),
+        )
+
+    def forward(self, x):
+        return self.layers(x)
+
+
+class _Block(tnn.Module):
+    def __init__(self, C, H, w, shift):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(C)
+        self.attn = _ShiftWindowMSA(C, H, w, shift)  # sd key: attn.w_msa.*
+        self.norm2 = tnn.LayerNorm(C)
+        self.ffn = _FFN(C)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.ffn(self.norm2(x))
+
+
+class _PatchMerging(tnn.Module):
+    def __init__(self, C):
+        super().__init__()
+        self.norm = tnn.LayerNorm(4 * C)
+        self.reduction = tnn.Linear(4 * C, 2 * C, bias=False)
+        self.sampler = tnn.Unfold(kernel_size=2, stride=2)
+
+    def forward(self, x):  # (B, H, W, C)
+        B, Hh, Ww, C = x.shape
+        x = tnn.functional.pad(x, (0, 0, 0, Ww % 2, 0, Hh % 2))
+        x = x.permute(0, 3, 1, 2)
+        x = self.sampler(x).transpose(1, 2)  # (B, L, 4C) (c, ky, kx) order
+        x = self.reduction(self.norm(x))
+        return x.view(B, (Hh + Hh % 2) // 2, (Ww + Ww % 2) // 2, 2 * C)
+
+
+class _Stage(tnn.Module):
+    def __init__(self, C, H, w, depth, downsample):
+        super().__init__()
+        self.blocks = tnn.ModuleList(
+            [_Block(C, H, w, 0 if i % 2 == 0 else w // 2) for i in range(depth)]
+        )
+        self.downsample = _PatchMerging(C) if downsample else None
+
+
+class _PatchEmbed(tnn.Module):
+    def __init__(self, C):
+        super().__init__()
+        self.projection = tnn.Conv2d(3, C, 4, 4)
+        self.norm = tnn.LayerNorm(C)
+
+
+class _TinySwin(tnn.Module):
+    """2-stage mmdet-named Swin: embed 16, depths (2, 2), heads (2, 4), w=4."""
+
+    def __init__(self, C=16, w=4):
+        super().__init__()
+        self.patch_embed = _PatchEmbed(C)
+        self.stages = tnn.ModuleList(
+            [_Stage(C, 2, w, 2, True), _Stage(2 * C, 4, w, 2, False)]
+        )
+        self.norm0 = tnn.LayerNorm(C)
+        self.norm1 = tnn.LayerNorm(2 * C)
+
+    def forward(self, x):  # (B, 3, H, W)
+        x = self.patch_embed.projection(x).permute(0, 2, 3, 1)
+        x = self.patch_embed.norm(x)
+        outs = []
+        for i, stage in enumerate(self.stages):
+            for blk in stage.blocks:
+                x = blk(x)
+            outs.append(getattr(self, f"norm{i}")(x))
+            if stage.downsample is not None:
+                x = stage.downsample(x)
+        return outs
+
+
+@pytest.mark.parametrize("hw", [(32, 32), (24, 40)])
+def test_swin_conversion_numeric(hw):
+    """(24, 40): 6x10 patches -> exercises in-block window padding AND the
+    odd-extent PatchMerging pad (6x10 -> merge of 6x10 ok; stage1 5-wide...)"""
+    tm = _TinySwin()
+    tm.eval()
+    sd = tm.state_dict()
+    flat = convert_swin(sd)
+    params = unflatten(flat)
+
+    jm = SwinTransformer(
+        embed_dim=16, depths=(2, 2), num_heads=(2, 4), window=4,
+        out_indices=(0, 1),
+    )
+    x = np.random.default_rng(0).normal(size=(2, 3, *hw)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x))
+    outs = jm.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(outs) == len(ref)
+    for j, t in zip(outs, ref):
+        np.testing.assert_allclose(np.asarray(j), t.numpy(), atol=1e-4)
+
+
+def test_swin_roundtrip_full_b():
+    """Converter covers every param of the real Swin-B module tree."""
+    import jax
+
+    jm = SwinTransformer()  # Swin-B defaults
+    variables = jax.eval_shape(
+        lambda: jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    )
+    want = jax.tree_util.tree_leaves_with_path(variables["params"])
+
+    # synthesize an mmdet-shaped state dict for Swin-B
+    sd = {}
+    C = 128
+    sd["patch_embed.projection.weight"] = torch.randn(C, 3, 4, 4)
+    sd["patch_embed.projection.bias"] = torch.randn(C)
+    sd["patch_embed.norm.weight"] = torch.randn(C)
+    sd["patch_embed.norm.bias"] = torch.randn(C)
+    depths, heads = (2, 2, 18, 2), (4, 8, 16, 32)
+    dim = C
+    for s, d in enumerate(depths):
+        for b in range(d):
+            p = f"stages.{s}.blocks.{b}"
+            sd[f"{p}.norm1.weight"] = torch.randn(dim)
+            sd[f"{p}.norm1.bias"] = torch.randn(dim)
+            sd[f"{p}.attn.w_msa.relative_position_bias_table"] = torch.randn(
+                23 * 23, heads[s]
+            )
+            sd[f"{p}.attn.w_msa.qkv.weight"] = torch.randn(3 * dim, dim)
+            sd[f"{p}.attn.w_msa.qkv.bias"] = torch.randn(3 * dim)
+            sd[f"{p}.attn.w_msa.proj.weight"] = torch.randn(dim, dim)
+            sd[f"{p}.attn.w_msa.proj.bias"] = torch.randn(dim)
+            sd[f"{p}.norm2.weight"] = torch.randn(dim)
+            sd[f"{p}.norm2.bias"] = torch.randn(dim)
+            sd[f"{p}.ffn.layers.0.0.weight"] = torch.randn(4 * dim, dim)
+            sd[f"{p}.ffn.layers.0.0.bias"] = torch.randn(4 * dim)
+            sd[f"{p}.ffn.layers.1.weight"] = torch.randn(dim, 4 * dim)
+            sd[f"{p}.ffn.layers.1.bias"] = torch.randn(dim)
+        sd[f"norm{s}.weight"] = torch.randn(dim)
+        sd[f"norm{s}.bias"] = torch.randn(dim)
+        if s < 3:
+            sd[f"stages.{s}.downsample.norm.weight"] = torch.randn(4 * dim)
+            sd[f"stages.{s}.downsample.norm.bias"] = torch.randn(4 * dim)
+            sd[f"stages.{s}.downsample.reduction.weight"] = torch.randn(
+                2 * dim, 4 * dim
+            )
+            dim *= 2
+
+    params = unflatten(convert_swin(sd))
+    got = {
+        "/".join(str(getattr(k, "key", k)) for k in path)
+        for path, _ in jax.tree_util.tree_leaves_with_path(params)
+    }
+    for path, leaf in want:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        assert key in got, f"missing converted param {key}"
+        sub = params
+        for part in key.split("/"):
+            sub = sub[part]
+        assert tuple(sub.shape) == tuple(leaf.shape), key
