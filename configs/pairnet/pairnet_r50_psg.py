@@ -46,6 +46,11 @@ data = dict(
         max_rels=100,
         flip_prob=0.5,
         train_scales=(480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800),
+        # AutoAugment branch 2 (ref: configs/mask2former/pairnet.py:245-298):
+        # resize {400,500,600} -> RelRandomCrop(384..600) -> multi-scale resize
+        crop_prob=0.5,
+        crop_scales=(400, 500, 600),
+        crop_size_range=(384, 600),
     ),
     samples_per_device=2,
 )

@@ -41,6 +41,13 @@ class PipelineConfig:
     max_rels: int = 100
     flip_prob: float = 0.5
     train_scales: tuple[int, ...] = ()  # optional multi-scale short sides
+    # AutoAugment crop branch (ref: configs/mask2former/pairnet.py:234-306):
+    # with prob crop_prob, resize to a random crop_scales short side, apply
+    # RelRandomCrop with crop size sampled in crop_size_range (absolute
+    # range), then continue through the standard multi-scale resize
+    crop_prob: float = 0.0
+    crop_scales: tuple[int, ...] = (400, 500, 600)
+    crop_size_range: tuple[int, int] = (384, 600)
     mean: np.ndarray = field(default_factory=lambda: IMAGENET_MEAN)
     std: np.ndarray = field(default_factory=lambda: IMAGENET_STD)
 
@@ -103,10 +110,26 @@ def preprocess_sample(
     )  # per-segment class (things + stuff), aligned with masks
 
     short, long = cfg.target_size
+    orig_h, orig_w = img.shape[:2]
+    if train and cfg.crop_prob and rng.random() < cfg.crop_prob:
+        # AutoAugment branch 2: resize -> RelRandomCrop -> resize (ref:
+        # configs/mask2former/pairnet.py:266-297). When no triplet survives
+        # the crop, mmdet skips the sample and the loader retries; our
+        # fixed-shape loader instead falls back to the plain resize branch.
+        short0 = int(rng.choice(cfg.crop_scales))
+        scale0 = keep_ratio_scale(orig_h, orig_w, short0, long)
+        img0 = _resize_image(img, scale0)
+        m0 = _resize_masks_nearest(masks, img0.shape[:2])
+        cmin, cmax = cfg.crop_size_range
+        h0, w0 = img0.shape[:2]
+        ch = int(rng.integers(min(cmin, h0), min(cmax, h0) + 1))
+        cw = int(rng.integers(min(cmin, w0), min(cmax, w0) + 1))
+        cropped = rel_random_crop(img0, m0, labels, rels, (ch, cw), rng)
+        if cropped is not None:
+            img, masks, labels, rels = cropped
     if train and cfg.train_scales:
         short = int(rng.choice(cfg.train_scales))
     scale = keep_ratio_scale(img.shape[0], img.shape[1], short, long)
-    orig_h, orig_w = img.shape[:2]
     img_r = _resize_image(img, scale)
     rh, rw = img_r.shape[:2]
 

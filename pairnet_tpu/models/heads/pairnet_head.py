@@ -103,7 +103,9 @@ class PairNetHead(nn.Module):
         """feats: backbone (C2, C3, C4, C5) NHWC. Returns prediction dict."""
         mask_features, ms_feats = self.pixel_decoder(feats)
         pos_encodings = [
-            sine_positional_encoding(f.shape[1], f.shape[2], self.embed_dims // 2)
+            sine_positional_encoding(
+                f.shape[1], f.shape[2], self.embed_dims // 2
+            ).astype(f.dtype)
             for f in ms_feats
         ]
         dec = self.transformer_decoder(ms_feats, mask_features, pos_encodings)

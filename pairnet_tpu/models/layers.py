@@ -245,7 +245,9 @@ class MSDeformAttention(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
         out = ms_deform_attn(v, spatial_shapes, locs, attn, impl=self.impl)
-        out = nn.Dense(C, name="output_proj")(out)
+        # kernels accumulate/return f32; cast back so bf16 inference keeps
+        # the downstream projections/FFNs on the bf16 MXU path
+        out = nn.Dense(C, name="output_proj")(out.astype(identity.dtype))
         return identity + out
 
 

@@ -89,9 +89,16 @@ class MSDeformAttnPixelDecoder(nn.Module):
             h, w = f.shape[1], f.shape[2]
             x = nn.Conv(C, (1, 1), use_bias=True, name=f"input_conv_{lvl}")(f)
             x = nn.GroupNorm(num_groups=32, name=f"input_gn_{lvl}")(x)
-            pos = sine_positional_encoding(h, w, C // 2)
-            enc_feats.append(x.reshape(B, h * w, C) + level_embed[lvl])
-            pos_embeds.append(jnp.broadcast_to(pos.reshape(1, h * w, C), (B, h * w, C)))
+            pos = sine_positional_encoding(h, w, C // 2).astype(x.dtype)
+            # mmdet adds the level embed to the POSITIONAL encoding (not the
+            # tokens): value_proj inputs and the residual stream must not
+            # carry it (conversion parity with mmcv's decoder)
+            enc_feats.append(x.reshape(B, h * w, C))
+            pos_embeds.append(
+                jnp.broadcast_to(
+                    pos.reshape(1, h * w, C) + level_embed[lvl], (B, h * w, C)
+                )
+            )
             spatial_shapes.append((h, w))
 
         tokens = jnp.concatenate(enc_feats, axis=1)

@@ -174,10 +174,14 @@ def ms_deform_attn(
 
     impl = os.environ.get("PAIRNET_DEFORM_IMPL", impl)
     if impl == "patch" and jax.default_backend() == "tpu":
-        # the Pallas soft-four-hot kernel is ~3.3x faster end-to-end on v5e
-        impl = "pallas"
+        # v6 LUT-block-gather: exact f32, cost scales with the actual tap
+        # span (50 vs 84 ms/layer-call vs v2's soft-N-hot at realistic
+        # offsets, encoder geometry B4 800x1344)
+        impl = "pallas_v6"
     if impl == "pallas" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn  # noqa: F401 - registers
+    if impl == "pallas_v6" and impl not in _PALLAS_IMPL:
+        import pairnet_tpu.ops.pallas_deform_attn_v6  # noqa: F401 - registers
     if impl in _PALLAS_IMPL:
         return _PALLAS_IMPL[impl](
             value, spatial_shapes, sampling_locations, attention_weights

@@ -1,0 +1,260 @@
+"""Pallas TPU multi-scale deformable attention, v6 ("LUT block gather").
+
+Replaces the soft-N-hot one-hot matmul (v2-v5) with the VPU's hardware
+dynamic-gather (``tpu.dynamic_gather``, reached via take_along_axis):
+a per-sublane-row 128-lane table lookup. Probed contract on v5e: source
+and index shapes must match, and the gathered dimension must span a
+single vreg (lanes <= 128).
+
+Algorithm, per (batch*head, 64-query tile):
+  * coords arrive in gather-group lane layout (group, qpg*P lanes); the 16
+    tap indices/weights per query (4 points x 4 bilinear corners) are
+    derived per group on (1, 32) registers and lane-concatenated to
+    (1, 128) tap vectors — no cross-tiling reshapes;
+  * the value plane arrives pre-transposed (D, S_pad); blocks are
+    128-aligned lane slices (D, 128);
+  * scan ceil(span/128) blocks from the 128-aligned minimum tap index
+    (EXACT for arbitrary offsets); per block and group, one (D, 128)
+    lane-gather fetches every tap's channel column; accumulate
+    gather * (weight masked to this block);
+  * reduce taps -> queries with one static 0/1 matmul over tap lanes.
+
+Why it wins: the one-hot build costs ~3 vector ops per tap per WINDOW
+COLUMN; the LUT gather costs ~2 vector ops per tap per 128-BLOCK — work
+scales with the actual tap span, not the padded window. It is also exact
+in f32 (no bf16 one-hot rounding as in v2).
+
+The per-tile block range (base, count) is precomputed in XLA and fed via
+scalar prefetch, so the kernel never stalls on an in-kernel scalar
+reduction.
+
+Ref: mmcv MultiScaleDeformableAttention semantics (SURVEY.md §2.4);
+sampling location p maps to pixel p * size - 0.5, out-of-plane corners
+contribute zero.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import os as _os
+TQ = int(_os.environ.get("PAIRNET_DEFORM6_TQ", "64"))  # queries per tile
+BLK = 128  # value block = one vreg of lanes
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+def _group_taps(x, y, aw, h, w):
+    """x/y/aw (ng, qpg*P) f32 lane-layout -> idx (ng, 128) i32, wts (ng, 128).
+
+    Computed for ALL groups in one (ng, qpg*P) pass (one vreg per op).
+    Tap lane = corner * (qpg*P) + q_local * P + p.
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    idxs = []
+    wts = []
+    for dy, dx, cw in (
+        (0, 0, (1 - fy) * (1 - fx)),
+        (0, 1, (1 - fy) * fx),
+        (1, 0, fy * (1 - fx)),
+        (1, 1, fy * fx),
+    ):
+        xi = x0i + dx
+        yi = y0i + dy
+        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idxs.append(jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
+        wts.append((cw * aw * ok).astype(jnp.float32))
+    return jnp.concatenate(idxs, -1), jnp.concatenate(wts, -1)
+
+
+def _kernel(meta_ref, x_ref, y_ref, a_ref, v_ref, out_ref, *, h, w, nqt):
+    D = v_ref.shape[1]
+    ng = x_ref.shape[1]  # gather groups per tile
+    gp = x_ref.shape[2]  # qpg * P lanes per group
+    qpg = TQ // ng
+    P = gp // qpg
+    b, q = pl.program_id(0), pl.program_id(1)
+
+    # taps -> queries selector: lane = corner*gp + q_local*P + p
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qpg, BLK), 1)
+    qrow = jax.lax.broadcasted_iota(jnp.int32, (qpg, BLK), 0)
+    sel = ((lane % gp) // P == qrow).astype(jnp.float32)  # (qpg, 128)
+
+    idx_all, w_all = _group_taps(x_ref[0], y_ref[0], a_ref[0], h, w)
+    taps = [
+        (idx_all[j : j + 1], w_all[j : j + 1]) for j in range(ng)
+    ]
+    # TILE-level union block range (packed base_blk << 12 | nblk in a flat
+    # SMEM array — 2D prefetch pads the minor dim to 128). Per-group ranges
+    # were measured 3x SLOWER: the per-block fixed cost (dynamic slice +
+    # loop overhead ~90 cycles) then multiplies by ng, while the offset
+    # y-spread keeps per-group counts nearly as high as the union.
+    m = meta_ref[b * nqt + q]
+    base = (m >> 12) * BLK
+    nblk = m & 0xFFF
+
+    def blk_body(k, accs):
+        b0 = pl.multiple_of(base + k * BLK, BLK)
+        vbt = v_ref[0, :, pl.ds(b0, BLK)]  # (D, 128) shared by all groups
+        out = []
+        for j in range(ng):
+            idx_j, w_j = taps[j]
+            rel = idx_j - b0  # (1, 128) i32
+            inb = (rel >= 0) & (rel < BLK)
+            wk = jnp.where(inb, w_j, 0.0)  # (1, 128)
+            lo = jnp.clip(rel, 0, BLK - 1)
+            g = jnp.take_along_axis(
+                vbt, jnp.broadcast_to(lo, (D, BLK)), axis=1
+            )  # (D, 128)
+            out.append(accs[j] + g * wk)
+        return tuple(out)
+
+    accs = tuple(jnp.zeros((D, BLK), jnp.float32) for _ in range(ng))
+    accs = jax.lax.fori_loop(0, nblk, blk_body, accs)
+
+    for j in range(ng):
+        # (qpg, 128t) x (D, 128t) -> (qpg, D), contracting the tap lanes
+        res = jax.lax.dot_general(
+            sel, accs[j], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, j * qpg : (j + 1) * qpg, :] = res
+
+
+def _weighted_gather_v6(values_t, xg, yg, ag, base, nblk, h, w):
+    """values_t (BH, D, S_pad); xg/yg/ag (BH, n_groups, qpg*P) lane-layout;
+    base/nblk (BH, nqt) i32 per query tile -> (BH, Qp, D) f32."""
+    BH, D, S_pad = values_t.shape
+    n_groups, gp = xg.shape[1], xg.shape[2]
+    assert gp * 4 == BLK, (gp, BLK)  # each group fills 128 tap lanes
+    nqt = base.shape[1]
+    ng = n_groups // nqt
+    meta = ((base // BLK) << 12 | nblk).reshape(-1)  # nblk <= S/128 < 4096
+    kern = functools.partial(_kernel, h=h, w=w, nqt=nqt)
+    coord_spec = pl.BlockSpec(
+        (1, ng, gp), lambda b, q, *_: (b, q, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # packed (base_blk << 12 | nblk) per group
+        grid=(BH, nqt),
+        in_specs=[
+            coord_spec,
+            coord_spec,
+            coord_spec,
+            pl.BlockSpec(
+                (1, D, S_pad), lambda b, q, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TQ, D), lambda b, q, *_: (b, q, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, nqt * TQ, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(meta, xg, yg, ag, values_t)
+
+
+def _ms_deform_attn_v6_impl(value, spatial_shapes, locs, weights):
+    B, S, H, D = value.shape
+    Q = locs.shape[1]
+    P = locs.shape[4]
+    offs = [0]
+    for h, w in spatial_shapes:
+        offs.append(offs[-1] + h * w)
+    qpg = BLK // (4 * P)  # queries per gather group
+    Qp = _round_up(Q, TQ)
+
+    out = jnp.zeros((B, Q, H, D), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        S_l = h * w
+        S_pad = _round_up(S_l + BLK, BLK)
+        vl = jax.lax.dynamic_slice_in_dim(value, offs[lvl], S_l, axis=1)
+        vl = vl.transpose(0, 2, 3, 1).reshape(B * H, D, S_l)  # (BH, D, S)
+        vl = jnp.pad(vl, ((0, 0), (0, 0), (0, S_pad - S_l)))
+
+        x = locs[..., lvl, :, 0].astype(jnp.float32) * w - 0.5
+        y = locs[..., lvl, :, 1].astype(jnp.float32) * h - 0.5
+        aw = weights[..., lvl, :].astype(jnp.float32)
+
+        def to_groups(t):
+            """(B, Q, H, P) -> (BH, n_groups, qpg*P) lane layout."""
+            t = t.transpose(0, 2, 1, 3).reshape(B * H, Q, P)
+            if Qp != Q:
+                t = jnp.pad(t, ((0, 0), (0, Qp - Q), (0, 0)))
+            return t.reshape(B * H, Qp // qpg, qpg * P)
+
+        xb, yb, ab = to_groups(x), to_groups(y), to_groups(aw)
+        # per-tile block range with the kernel's corner clamping: the min
+        # corner is the clamped base corner, the max is the clamped
+        # (y0+1, x0+1) corner
+        y0 = jnp.floor(yb).astype(jnp.int32)
+        x0 = jnp.floor(xb).astype(jnp.int32)
+        flat_lo = (jnp.clip(y0, 0, h - 1) * w + jnp.clip(x0, 0, w - 1))
+        flat_hi = (jnp.clip(y0 + 1, 0, h - 1) * w + jnp.clip(x0 + 1, 0, w - 1))
+        nqt = Qp // TQ
+        lo = jnp.min(flat_lo.reshape(B * H, nqt, TQ * P), axis=-1)
+        hi = jnp.max(flat_hi.reshape(B * H, nqt, TQ * P), axis=-1)
+        base = jnp.maximum(lo, 0) // BLK * BLK
+        nblk = (hi - base) // BLK + 1  # (BH, nqt)
+
+        sampled = _weighted_gather_v6(vl, xb, yb, ab, base, nblk, h, w)
+        out = out + sampled[:, :Q].reshape(B, H, Q, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, Q, H * D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas_v6(value, spatial_shapes, locs, weights):
+    return _ms_deform_attn_v6_impl(value, spatial_shapes, locs, weights)
+
+
+def _fwd(value, spatial_shapes, locs, weights):
+    out = _ms_deform_attn_v6_impl(value, spatial_shapes, locs, weights)
+    return out, (value, locs, weights)
+
+
+def _bwd(spatial_shapes, res, g):
+    from pairnet_tpu.ops.deform_attn import _ms_deform_attn_patch
+
+    value, locs, weights = res
+    _, vjp = jax.vjp(
+        lambda v, l, w: _ms_deform_attn_patch(v, spatial_shapes, l, w),
+        value, locs, weights,
+    )
+    return vjp(g)
+
+
+ms_deform_attn_pallas_v6.defvjp(_fwd, _bwd)
+
+
+def register():
+    from pairnet_tpu.ops.deform_attn import register_pallas_impl
+
+    register_pallas_impl(
+        "pallas_v6",
+        lambda v, s, l, w: ms_deform_attn_pallas_v6(v, s, l, w),
+    )
+
+
+register()

@@ -15,6 +15,7 @@ def build_pipeline_cfg(cfg: Config, train: bool) -> PipelineConfig:
     if not train:
         p.pop("train_scales", None)
         p["flip_prob"] = 0.0
+        p["crop_prob"] = 0.0
     p["target_size"] = tuple(p["target_size"])
     if "train_scales" in p:
         p["train_scales"] = tuple(p["train_scales"])

@@ -117,8 +117,35 @@ def make_train_step(
     return train_step
 
 
+def make_val_step(
+    model, loss_kwargs: dict | None = None, loss_fn=None, apply_adapter=None
+) -> Callable:
+    """Build the jitted val step: (state, batch) -> metrics (no update).
+
+    Mirrors the reference's ``workflow=[('train', 1), ('val', 1)]`` val pass
+    (ref: configs/_base_/custom_runtime.py:18): same losses, deterministic
+    forward, no gradient/optimizer/Seesaw-state mutation.
+    """
+    loss_kwargs = loss_kwargs or {}
+    if loss_fn is None:
+        def loss_fn(outputs, batch, rng, cum):  # noqa: F811 - default
+            return pairnet_loss(outputs, batch, rng, cum, **loss_kwargs)
+    if apply_adapter is None:
+        def apply_adapter(model, variables, batch, **kw):
+            return model.apply(variables, batch["image"], **kw)
+
+    def val_step(state: TrainState, batch: dict):
+        points_rng = jax.random.fold_in(state.rng, 1)
+        out = apply_adapter(model, state.params, batch, deterministic=True)
+        losses, _ = loss_fn(out, batch, points_rng, state.cum_samples)
+        return losses
+
+    return val_step
+
+
 class Trainer:
-    """Epoch runner with logging, checkpointing and optional eval hook."""
+    """Epoch runner with logging, checkpointing, train/val workflow and an
+    optional eval hook (ref: mmcv EpochBasedRunner + EvalHook, SURVEY §1 L4)."""
 
     def __init__(
         self,
@@ -152,6 +179,9 @@ class Trainer:
         self._step_fn = jax.jit(
             make_train_step(model, tx, loss_kwargs, loss_fn, apply_adapter),
             donate_argnums=0,
+        )
+        self._val_fn = jax.jit(
+            make_val_step(model, loss_kwargs, loss_fn, apply_adapter)
         )
 
         import orbax.checkpoint as ocp
@@ -218,11 +248,42 @@ class Trainer:
                 )
         return last
 
-    def fit(self, loader_fn: Callable[[int], Any], max_epochs: int) -> dict:
+    def val_epoch(self, loader, epoch: int) -> dict:
+        """Validation-loss pass (the reference's ('val', 1) workflow leg)."""
+        sums: dict = {}
+        n = 0
+        for batch in loader:
+            batch = shard_batch(self.mesh, batch)
+            losses = jax.device_get(self._val_fn(self.state, batch))
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        means = {f"val_{k}": v / max(n, 1) for k, v in sums.items()}
+        logger.info(
+            "epoch %d val %s", epoch,
+            " ".join(f"{k}={v:.4f}" for k, v in means.items()),
+        )
+        return means
+
+    def fit(
+        self,
+        loader_fn: Callable[[int], Any],
+        max_epochs: int,
+        val_loader_fn: Callable[[int], Any] | None = None,
+        eval_hook: Callable[[Any, int], dict] | None = None,
+        eval_interval: int = 1,
+    ) -> dict:
+        """Train with the reference workflow: per epoch train, then optional
+        val-loss pass, then optional eval hook (metric evaluation) every
+        ``eval_interval`` epochs (ref: mmcv EvalHook)."""
         start = self.resume()
         last = {}
         for epoch in range(start, max_epochs):
             last = self.train_epoch(loader_fn(epoch), epoch)
+            if val_loader_fn is not None:
+                last.update(self.val_epoch(val_loader_fn(epoch), epoch))
             if (epoch + 1) % self.ckpt_interval_epochs == 0:
                 self.save(epoch + 1)
+            if eval_hook is not None and (epoch + 1) % eval_interval == 0:
+                last.update(eval_hook(self.state, epoch))
         return last

@@ -97,3 +97,27 @@ def test_freq_matrix(psg_root):
     assert freq.sum() == total_rels
     stats = ds.get_statistics()
     assert np.isfinite(stats["pred_dist"]).all()
+
+
+def test_autoaugment_crop_branch(psg_root):
+    """crop_prob=1 routes every train sample through RelRandomCrop (ref:
+    configs/mask2former/pairnet.py:245-298) with re-indexed relations."""
+    ds = PSGDataset(f"{psg_root}/psg.json", data_root=psg_root, split="train")
+    cfg = PipelineConfig(
+        target_size=(96, 128), size_divisor=32, max_inst=8, max_rels=10,
+        crop_prob=1.0, crop_scales=(64, 80), crop_size_range=(24, 48),
+        flip_prob=0.0,
+    )
+    rng = np.random.default_rng(3)
+    got_fewer = False
+    for i in list(range(len(ds))) * 4:
+        s = preprocess_sample(ds, i, cfg, train=True, rng=rng)
+        assert s["image"].shape == (96, 128, 3)  # fixed shapes preserved
+        n = int(s["gt_valid"].sum())
+        assert n >= 1
+        r = s["gt_rels"][s["rel_valid"]]
+        assert len(r) >= 1  # RelRandomCrop never leaves zero triplets
+        assert (r[:, :2] < n).all()  # re-indexed into surviving instances
+        assert (r[:, 2] >= 1).all()
+        got_fewer = got_fewer or n < len(ds.data[i].segments_info)
+    assert got_fewer  # at least one crop actually dropped an instance

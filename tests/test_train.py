@@ -105,8 +105,17 @@ def test_trainer_fit_and_resume(tmp_path):
         loss_kwargs={"num_points": 64}, log_interval=1,
     )
     epoch_loader = lambda epoch: Loader(ds, cfg, 4, True, seed=epoch)
+    val_loader = lambda epoch: Loader(ds, cfg, 4, False, drop_last=False)
     steps_per_epoch = len(epoch_loader(0))
-    trainer.fit(epoch_loader, max_epochs=1)
+    hook_calls = []
+    last = trainer.fit(
+        epoch_loader, max_epochs=1, val_loader_fn=val_loader,
+        eval_hook=lambda state, epoch: hook_calls.append(epoch) or {"hooked": 1.0},
+    )
+    # val workflow ran (ref workflow=[('train',1),('val',1)]) + EvalHook fired
+    assert any(k.startswith("val_") for k in last), last
+    assert np.isfinite(last["val_loss_total"])
+    assert hook_calls == [0] and last["hooked"] == 1.0
     step_after = int(jax.device_get(trainer.state.step))
     assert step_after == steps_per_epoch
 

@@ -134,10 +134,31 @@ def main():
     if args.max_steps:
         max_epochs = min(max_epochs, -(-args.max_steps // steps_per_epoch))
 
+    # val workflow: reference runs workflow=[('train', 1), ('val', 1)]
+    # (ref: configs/_base_/custom_runtime.py:18); enable with
+    # cfg.workflow = ['train', 'val']
+    val_loader_fn = None
+    if "val" in cfg.get("workflow", ["train"]):
+        # PSG has no separate val split: test_image_ids IS the val set
+        # (ref: pairnet/datasets/psg.py:80-90)
+        val_dataset = build_dataset(cfg, split="test")
+        val_pipe_cfg = build_pipeline_cfg(cfg, train=False)
+        val_transform = None
+        if cfg.model.type == "SceneGraphTwoStage":
+            from pairnet_tpu.data.pipeline import to_twostage_batch
+
+            val_transform = lambda s, rng: to_twostage_batch(
+                s, cfg.data.get("max_pairs", 256), train=True, rng=rng
+            )
+        val_loader_fn = lambda epoch: Loader(
+            val_dataset, val_pipe_cfg, batch_size, train=False,
+            sample_transform=val_transform,
+        )
+
     if not args.resume:
         # fresh run unless --resume (reference: --resume-from/--auto-resume)
         trainer.resume = lambda: 0  # type: ignore[method-assign]
-    last = trainer.fit(loader_fn, max_epochs)
+    last = trainer.fit(loader_fn, max_epochs, val_loader_fn=val_loader_fn)
     logging.info("training done: %s", last)
 
 
