@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import os
+
 import numpy as np
 
 IMAGENET_MEAN = np.asarray([123.675, 116.28, 103.53], np.float32)
@@ -139,8 +141,18 @@ def preprocess_sample(
 
     pad_h, pad_w = cfg.padded_hw()
     rh, rw = min(rh, pad_h), min(rw, pad_w)
-    canvas = np.zeros((pad_h, pad_w, 3), np.float32)
-    canvas[:rh, :rw] = (img_r[:rh, :rw].astype(np.float32) - cfg.mean) / cfg.std
+    from pairnet_tpu import native
+
+    if native.available() and img_r.dtype == np.uint8:
+        # single-pass fused normalize+pad (C++/OpenMP): ~3x the numpy
+        # subtract/divide/copy chain on large canvases
+        canvas = native.normalize_pad(
+            np.ascontiguousarray(img_r[:rh, :rw]), cfg.mean, cfg.std,
+            pad_h, pad_w,
+        )
+    else:
+        canvas = np.zeros((pad_h, pad_w, 3), np.float32)
+        canvas[:rh, :rw] = (img_r[:rh, :rw].astype(np.float32) - cfg.mean) / cfg.std
 
     s = cfg.mask_stride
     mh, mw = pad_h // s, pad_w // s
@@ -204,41 +216,96 @@ class Loader:
         seed: int = 0,
         drop_last: bool | None = None,
         sample_transform=None,
+        num_workers: int | None = None,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
         self.train = train
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.drop_last = train if drop_last is None else drop_last
         # per-sample hook (e.g. to_twostage_batch for relation-pair fields)
         self.sample_transform = sample_transform
+        # async decode/preprocess: the reference runs 2 dataloader workers
+        # per GPU (ref: configs/mask2former/pairnet.py workers_per_gpu=2);
+        # here a thread pool (PIL/numpy/native C++ release the GIL) plus a
+        # `prefetch`-deep pipeline of ready batches
+        if num_workers is None:
+            num_workers = int(os.environ.get("PAIRNET_LOADER_WORKERS", "4"))
+        self.num_workers = num_workers
+        self.prefetch = prefetch
 
     def __len__(self) -> int:
         n = len(self.dataset)
         b = self.batch_size
         return n // b if self.drop_last else (n + b - 1) // b
 
+    def _make_sample(self, i: int, pos: int) -> dict:
+        # per-sample counter-based rng: deterministic regardless of worker
+        # scheduling (the sync path uses one sequential stream instead)
+        rng = np.random.default_rng([self.seed, pos])
+        s = preprocess_sample(self.dataset, i, self.cfg, self.train, rng)
+        if self.sample_transform is not None:
+            s = self.sample_transform(s, rng)
+        return s
+
+    def _batch_starts(self, order):
+        b = self.batch_size
+        end = len(order) - (len(order) % b) if self.drop_last else len(order)
+        return [(start, order[start : start + b]) for start in range(0, end, b)]
+
+    def _finalize(self, samples, n_real):
+        b = self.batch_size
+        samples = list(samples)
+        while len(samples) < b:  # pad trailing partial batch
+            samples.append(samples[0])
+        batch = collate(samples)
+        batch["batch_valid"] = np.arange(b) < n_real
+        return batch
+
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.train:
             self.rng.shuffle(order)
-        b = self.batch_size
-        end = len(order) - (len(order) % b) if self.drop_last else len(order)
-        for start in range(0, end, b):
-            idxs = order[start : start + b]
-            samples = [
-                preprocess_sample(self.dataset, int(i), self.cfg, self.train, self.rng)
-                for i in idxs
-            ]
-            if self.sample_transform is not None:
-                samples = [self.sample_transform(s, self.rng) for s in samples]
-            # pad the trailing partial batch by repeating the first sample
-            while len(samples) < b:
-                samples.append(samples[0])
-            batch = collate(samples)
-            batch["batch_valid"] = np.arange(b) < len(idxs)
-            yield batch
+        plan = self._batch_starts(order)
+        if self.num_workers <= 0:
+            for start, idxs in plan:
+                samples = [
+                    preprocess_sample(
+                        self.dataset, int(i), self.cfg, self.train, self.rng
+                    )
+                    for i in idxs
+                ]
+                if self.sample_transform is not None:
+                    samples = [self.sample_transform(s, self.rng) for s in samples]
+                yield self._finalize(samples, len(idxs))
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+
+            def submit(start, idxs):
+                futs = [
+                    pool.submit(self._make_sample, int(i), start + k)
+                    for k, i in enumerate(idxs)
+                ]
+                pending.append((futs, len(idxs)))
+
+            depth = max(1, self.prefetch)
+            for start, idxs in plan[:depth]:
+                submit(start, idxs)
+            nxt = depth
+            while pending:
+                futs, n_real = pending.pop(0)
+                samples = [f.result() for f in futs]
+                if nxt < len(plan):
+                    submit(*plan[nxt])
+                    nxt += 1
+                yield self._finalize(samples, n_real)
 
 
 def to_twostage_batch(

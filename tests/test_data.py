@@ -121,3 +121,19 @@ def test_autoaugment_crop_branch(psg_root):
         assert (r[:, 2] >= 1).all()
         got_fewer = got_fewer or n < len(ds.data[i].segments_info)
     assert got_fewer  # at least one crop actually dropped an instance
+
+
+def test_async_loader_matches_sync(psg_root):
+    """Thread-pool loader yields identical batches to the sync path when
+    augmentation is off (per-sample rng only drives train-time aug)."""
+    ds = PSGDataset(f"{psg_root}/psg.json", data_root=psg_root, split="train")
+    cfg = PipelineConfig(
+        target_size=(96, 128), max_inst=8, max_rels=10, flip_prob=0.0
+    )
+    sync = list(Loader(ds, cfg, 2, train=False, num_workers=0))
+    asyn = list(Loader(ds, cfg, 2, train=False, num_workers=4))
+    assert len(sync) == len(asyn) == 3  # 5 images, no drop_last
+    for a, b in zip(sync, asyn):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
