@@ -82,6 +82,52 @@ def predictions_to_protocol(
     return preds
 
 
+def save_predictions(preds: list[SGPrediction], path: str) -> None:
+    """Pickle per-image predictions (masks bit-packed) for vis_results.py
+    (counterpart of the reference's results .pkl, ref: tools/vis_results.py)."""
+    import pickle
+
+    rows = []
+    for p in preds:
+        row = {
+            "labels": p.labels,
+            "rel_pair_idxes": p.rel_pair_idxes,
+            "rel_dists": p.rel_dists.astype(np.float16),
+            "boxes": p.boxes,
+        }
+        if p.masks is not None:
+            row["mask_shape"] = p.masks.shape
+            row["masks_packed"] = np.packbits(p.masks.astype(bool), axis=None)
+        rows.append(row)
+    with open(path, "wb") as f:
+        pickle.dump(rows, f)
+
+
+def load_predictions(path: str) -> list[SGPrediction]:
+    import pickle
+
+    with open(path, "rb") as f:
+        rows = pickle.load(f)
+    preds = []
+    for row in rows:
+        masks = None
+        if "masks_packed" in row:
+            shape = row["mask_shape"]
+            n = int(np.prod(shape))
+            masks = np.unpackbits(row["masks_packed"], count=n).astype(bool)
+            masks = masks.reshape(shape)
+        preds.append(
+            SGPrediction(
+                labels=row["labels"],
+                rel_pair_idxes=row["rel_pair_idxes"],
+                rel_dists=row["rel_dists"].astype(np.float32),
+                masks=masks,
+                boxes=row.get("boxes"),
+            )
+        )
+    return preds
+
+
 def load_groundtruths(dataset) -> list[SGGroundTruth]:
     """GT in eval protocol: 1-based labels, full-res masks
     (ref: psg.py:344-391)."""
@@ -112,10 +158,12 @@ def evaluate_model(
     num_predicates: int = 56,
     num_things: int = 80,
     iou_thr: float = 0.5,
+    results_out: str | None = None,
 ) -> dict:
     """Run inference over ``dataset`` and return the metric dict.
 
     ``apply_fn(image_batch) -> output dict`` should be jitted by the caller.
+    ``results_out`` pickles per-image predictions for tools/vis_results.py.
     """
     if mode == "predcls":
         # predcls substitutes GT detections for the prediction's, which only
@@ -133,6 +181,8 @@ def evaluate_model(
         preds.extend(
             predictions_to_protocol(out, batch, pipe_cfg.mask_stride, num_things)
         )
+    if results_out:
+        save_predictions(preds, results_out)
     gts = load_groundtruths(dataset)
     assert len(gts) == len(preds), (len(gts), len(preds))
     return sgg_evaluate(
@@ -197,6 +247,7 @@ def evaluate_model_with_postprocess(
     num_predicates: int = 56,
     num_things: int = 80,
     iou_thr: float = 0.5,
+    results_out: str | None = None,
 ) -> dict:
     """Like evaluate_model but through a head-specific TripletPrediction
     postprocessor (see train/dispatch.get_postprocess_fn). Box-mode heads
@@ -232,6 +283,8 @@ def evaluate_model_with_postprocess(
                 preds.append(
                     triplets_to_protocol(trip, batch, b, pipe_cfg.mask_stride)
                 )
+    if results_out:
+        save_predictions(preds, results_out)
     gts = load_groundtruths(dataset)
     assert len(gts) == len(preds)
     return sgg_evaluate(

@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
-TQ = int(_os.environ.get("PAIRNET_DEFORM6_TQ", "64"))  # queries per tile
+TQ = int(_os.environ.get("PAIRNET_DEFORM6_TQ", "128"))  # queries per tile (128: 14% over 64 at realistic offsets)
 BLK = 128  # value block = one vreg of lanes
 
 
@@ -111,7 +111,9 @@ def _kernel(meta_ref, x_ref, y_ref, a_ref, v_ref, out_ref, *, h, w, nqt):
 
     def blk_body(k, accs):
         b0 = pl.multiple_of(base + k * BLK, BLK)
-        vbt = v_ref[0, :, pl.ds(b0, BLK)]  # (D, 128) shared by all groups
+        # f32 block: the hardware gather requires index/result bitwidths to
+        # match (bf16 sources are upcast here; plane stays bf16 in VMEM)
+        vbt = v_ref[0, :, pl.ds(b0, BLK)].astype(jnp.float32)
         out = []
         for j in range(ng):
             idx_j, w_j = taps[j]

@@ -28,6 +28,10 @@ def parse_args():
     p.add_argument("checkpoint", nargs="?", help="work dir with ckpts/ (optional)")
     p.add_argument("--eval", default="sgdet", choices=["sgdet", "predcls", "pairdet"])
     p.add_argument("--out", help="dump metrics json here")
+    p.add_argument(
+        "--save-results",
+        help="pickle per-image predictions here (for tools/vis_results.py)",
+    )
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -144,6 +148,7 @@ def main():
             get_postprocess_fn(head_type),
             dataset,
             pipe_cfg,
+            results_out=args.save_results,
             batch_size=args.batch_size,
             mode=args.eval,
             num_predicates=cfg.num_relation_classes,
@@ -155,6 +160,7 @@ def main():
             apply_fn,
             dataset,
             pipe_cfg,
+            results_out=args.save_results,
             batch_size=args.batch_size,
             mode=args.eval,
             num_predicates=cfg.num_relation_classes,
