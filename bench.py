@@ -27,6 +27,11 @@ REFERENCE_GPU_IMG_PER_S = 10.0  # documented estimate, see module docstring
 
 
 def main():
+    mode = os.environ.get("BENCH_MODE", "fwd")
+    if mode == "train":
+        return bench_train()
+    if mode == "eval":
+        return bench_eval()
     import jax
     import jax.numpy as jnp
 
@@ -79,6 +84,134 @@ def main():
         json.dumps(
             {
                 "metric": "images_per_sec_per_chip_pairnet_r50_sgdet_1333x800",
+                "value": round(img_per_s, 3),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / REFERENCE_GPU_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+def bench_train():
+    """Full train step (fwd + on-device Hungarian targets + losses + bwd +
+    AdamW) at 800x1344 batch 4 — VERDICT r1 #2's train-step benchmark."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from pairnet_tpu.train.optim import build_optimizer
+    from pairnet_tpu.train.trainer import TrainState, make_train_step
+
+    model = _flagship()
+    B, H, W = int(os.environ.get("BENCH_BATCH", "4")), 800, 1344
+    G, R = 24, 40
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32),
+        "gt_labels": jnp.asarray(rng.integers(0, 133, size=(B, G)), jnp.int32),
+        "gt_masks": jnp.asarray(
+            rng.uniform(size=(B, G, H // 4, W // 4)) > 0.8, jnp.float32
+        ),
+        "gt_valid": jnp.asarray(np.ones((B, G), bool)),
+        "gt_rels": jnp.asarray(
+            np.stack(
+                [rng.integers(0, G, (B, R)), rng.integers(0, G, (B, R)),
+                 rng.integers(1, 56, (B, R))], -1,
+            ), jnp.int32,
+        ),
+        "rel_valid": jnp.asarray(np.ones((B, R), bool)),
+    }
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
+    )
+    tx = build_optimizer(variables["params"])
+    state = TrainState.create(variables, tx, 56)
+    step = jax.jit(make_train_step(model, tx, {"num_points": 12544}))
+
+    def chained(st, bt):
+        st, metrics = step(st, bt)
+        bt = dict(bt)
+        bt["image"] = jnp.roll(bt["image"], 1, axis=2) + (
+            1e-6 * metrics["loss_total"]
+        ).astype(bt["image"].dtype)
+        return st, bt, metrics
+
+    chained = jax.jit(chained)
+    state, b2, metrics = chained(state, batch)
+    _ = float(metrics["loss_total"])  # compile + run
+    n_iters = int(os.environ.get("BENCH_ITERS", "4"))
+    b2 = batch
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, b2, metrics = chained(state, b2)
+    _ = float(metrics["loss_total"])
+    dt = time.perf_counter() - t0
+    img_per_s = B * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_pairnet_r50_800x1344",
+                "value": round(img_per_s, 3),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / REFERENCE_GPU_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+def bench_eval():
+    """Forward + full on-device postprocess (panoptic fusion, triplet
+    ranking) — the sgdet inference path incl postprocess (VERDICT r1 weak #1)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from pairnet_tpu.models.heads.pairnet_inference import pairnet_postprocess
+
+    model = _flagship()
+    B, H, W = int(os.environ.get("BENCH_BATCH", "4")), 800, 1344
+    img = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3), jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
+    )
+    dtype = dict(bf16=jnp.bfloat16, f32=jnp.float32)[
+        os.environ.get("BENCH_DTYPE", "bf16")
+    ]
+    if dtype != jnp.float32:
+        cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
+        variables = jax.tree_util.tree_map(cast, variables)
+        img = img.astype(dtype)
+
+    def fwd_post(v, x):
+        out = model.apply(v, x)
+        preds = [pairnet_postprocess(out, b, num_things=80) for b in range(B)]
+        return preds[0].r_scores, preds
+
+    def chained(v, x):
+        scores, preds = fwd_post(v, x)
+        x = jnp.roll(x, 1, axis=2) + (0.01 * scores[0]).astype(x.dtype)
+        return x, preds
+
+    chained = jax.jit(chained)
+    x, preds = chained(variables, img)
+    _ = float(preds[0].r_scores[0])
+    n_iters = int(os.environ.get("BENCH_ITERS", "6"))
+    x = img
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        x, preds = chained(variables, x)
+    _ = float(preds[0].r_scores[0])
+    dt = time.perf_counter() - t0
+    img_per_s = B * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "eval_images_per_sec_pairnet_r50_sgdet_postproc",
                 "value": round(img_per_s, 3),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / REFERENCE_GPU_IMG_PER_S, 3),

@@ -305,42 +305,84 @@ def evaluate_twostage(
     num_predicates: int = 56,
     num_things: int = 80,
     iou_thr: float = 0.5,
+    detector_apply=None,
 ) -> dict:
-    """predcls/sgcls evaluation for the two-stage relation heads.
+    """predcls/sgcls/sgdet evaluation for the two-stage relation heads.
 
-    Detections are the GT boxes (predcls semantics, ref: sg_panoptic_fpn.py:
-    383-391); all ordered pairs are scored and ranked by the PostProcessor
+    predcls/sgcls: detections are the GT boxes (ref: sg_panoptic_fpn.py:
+    383-391). sgdet: ``detector_apply(image, image_shape) ->
+    (boxes, labels_1based, valid, mask_logits_h4w4)`` provides them (the
+    reference runs the frozen PanopticFPN detector, sg_panoptic_fpn.py:
+    57-142). All ordered pairs are scored and ranked by the PostProcessor
     triplet score. ``apply_fn(batch) -> outputs`` must accept the two-stage
     batch contract.
     """
     from pairnet_tpu.data.pipeline import to_twostage_batch
+    from pairnet_tpu.models.heads.twostage.core import all_test_pairs
     from pairnet_tpu.models.heads.twostage.heads import twostage_postprocess
 
     if max_pairs is None:
         # test time scores ALL ordered pairs (ref: sampling.py:44-67);
         # truncating silently destroys recall
         max_pairs = pipe_cfg.max_inst * (pipe_cfg.max_inst - 1)
+    if mode == "sgdet" and detector_apply is None:
+        raise ValueError("sgdet needs detector_apply (frozen detector)")
+    transform = None
+    if mode != "sgdet":
+        transform = lambda s, rng: to_twostage_batch(
+            s, max_pairs, train=False, rng=rng
+        )
     loader = Loader(
         dataset, pipe_cfg, batch_size, train=False, seed=0,
-        sample_transform=lambda s, rng: to_twostage_batch(
-            s, max_pairs, train=False, rng=rng
-        ),
+        sample_transform=transform,
     )
     gts = load_groundtruths(dataset)
     preds: list[SGPrediction] = []
     for batch in loader:
+        det_masks = None
+        if mode == "sgdet":
+            boxes, labels, dists, valid, det_masks = (
+                np.asarray(t)
+                for t in detector_apply(batch["image"], batch["image_shape"])
+            )
+            B, G = labels.shape
+            pairs = np.zeros((B, max_pairs, 2), np.int64)
+            pvalid = np.zeros((B, max_pairs), bool)
+            for b in range(B):
+                p, v = all_test_pairs(int(valid[b].sum()), G)
+                pairs[b] = p[:max_pairs]
+                pvalid[b] = v[:max_pairs]
+            batch = dict(
+                batch,
+                det_boxes=boxes.astype(np.float32),
+                det_labels=labels.astype(np.int32),
+                det_dists=dists.astype(np.float32),
+                det_valid=valid,
+                pairs=pairs,
+                pair_valid=pvalid,
+                pair_labels=np.zeros((B, max_pairs), np.int32),
+            )
         out = apply_fn(batch)
         out = {k: np.asarray(v) for k, v in out.items()}
         for b in range(batch["image"].shape[0]):
             if not batch["batch_valid"][b]:
                 continue
             res = twostage_postprocess(out, batch, b)
+            masks = None
+            if det_masks is not None:
+                rh, rw = (int(x) for x in batch["image_shape"][b])
+                oh, ow = (int(x) for x in batch["orig_shape"][b])
+                ch = max(1, int(np.ceil(rh / pipe_cfg.mask_stride)))
+                cw = max(1, int(np.ceil(rw / pipe_cfg.mask_stride)))
+                m = det_masks[b][:, :ch, :cw].astype(np.float32)
+                masks = _resize_logits(m, (oh, ow)) > 0.0
             preds.append(
                 SGPrediction(
                     labels=res["labels"].astype(np.int64),
                     rel_pair_idxes=res["rel_pair_idxes"].astype(np.int64),
                     rel_dists=res["rel_dists"].astype(np.float32),
                     obj_scores=res["obj_scores"],
+                    masks=masks,
                 )
             )
     assert len(gts) == len(preds)

@@ -171,8 +171,9 @@ class PanopticFPN(nn.Module):
         self.mask_head = MaskHead(self.num_things, name="mask_head")
         self.semantic_head = SemanticHead(self.num_stuff, name="semantic_head")
 
-    def __call__(self, images, image_shape):
-        """-> (Detections, semantic logits (B, H/4, W/4, S+1))."""
+    def __call__(self, images, image_shape, with_masks: bool = False):
+        """-> (Detections, semantic logits (B, H/4, W/4, S+1)[, det mask
+        logits (B, N, H/4, W/4) when with_masks])."""
         feats = self.backbone(images)
         fpn = self.neck(feats)
         rpn_outs = self.rpn_head(fpn)
@@ -246,5 +247,45 @@ class PanopticFPN(nn.Module):
             )
 
         dets = jax.vmap(decode_dets)(cls, reg, props, prop_valid, image_shape)
+        dets = Detections(*dets)
         sem = self.semantic_head(fpn)
-        return Detections(*dets), sem
+        if not with_masks:
+            return dets, sem
+
+        # FCN mask head on the final detections, pasted onto the stride-4
+        # canvas (ref: sg_panoptic_fpn.py sgdet path runs the mmdet mask
+        # head + paste; here the paste is a per-det bilinear grid sample)
+        from pairnet_tpu.ops.sampling import point_sample
+
+        s = 4
+        h4, w4 = images.shape[1] // s, images.shape[2] // s
+        mask_list = []
+        for b in range(B):
+            roi_feats = multilevel_roi_align(
+                [f[b] for f in fpn[:4]], self.strides[:4], dets.boxes[b], 14
+            )
+            logits = self.mask_head(roi_feats)  # (N, 28, 28, C_things)
+            lab = jnp.clip(dets.labels[b] - 1, 0, self.num_things - 1)
+            m = jnp.take_along_axis(
+                logits, lab[:, None, None, None], axis=-1
+            )[..., 0]  # (N, 28, 28)
+
+            ys = (jnp.arange(h4, dtype=jnp.float32) + 0.5) * s
+            xs = (jnp.arange(w4, dtype=jnp.float32) + 0.5) * s
+            yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+
+            def paste(mask28, box):
+                x1, y1, x2, y2 = box
+                bw = jnp.maximum(x2 - x1, 1.0)
+                bh = jnp.maximum(y2 - y1, 1.0)
+                pts = jnp.stack([(xx - x1) / bw, (yy - y1) / bh], -1)
+                out = point_sample(mask28[..., None], pts)[..., 0]
+                inside = (
+                    (pts[..., 0] >= 0) & (pts[..., 0] < 1)
+                    & (pts[..., 1] >= 0) & (pts[..., 1] < 1)
+                )
+                return jnp.where(inside, out, -1e4)
+
+            mask_list.append(jax.vmap(paste)(m, dets.boxes[b]))
+        det_masks = jnp.stack(mask_list)  # (B, N, h4, w4) logits
+        return dets, sem, det_masks

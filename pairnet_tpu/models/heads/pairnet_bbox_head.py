@@ -361,6 +361,97 @@ def _bbox_targets_single(
     return r_labels, pos.astype(jnp.float32), sub_ids, obj_ids, gt_importance
 
 
+def deformable_detr_detection_loss(
+    outputs,
+    batch,
+    cls_weight: float = 2.0,
+    l1_weight: float = 5.0,
+    giou_weight: float = 2.0,
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
+):
+    """Detection-only pretraining loss — counterpart of the reference's
+    od_r101_vg.py run (ref: configs/deformable_detr/od_r101_vg.py: mmdet
+    DeformableDETRHead loss): per-decoder-layer sigmoid focal cls + L1 +
+    gIoU on Hungarian-matched queries, plus the encoder-proposal losses.
+    """
+    from pairnet_tpu.models.matchers import box_hungarian_assign
+    from pairnet_tpu.ops.boxes import cxcywh_to_xyxy, generalized_box_iou
+
+    img_hw = batch["image_shape"].astype(jnp.float32)
+    gt_labels = batch["gt_labels"]
+    gt_valid = batch["gt_valid"]
+    B, G = gt_labels.shape
+
+    def to_cxcywh_norm(gt_boxes, hw):
+        scale = jnp.concatenate([hw[::-1], hw[::-1]]).astype(jnp.float32)
+        n = gt_boxes / jnp.maximum(scale, 1.0)
+        return jnp.clip(
+            jnp.stack(
+                [
+                    (n[:, 0] + n[:, 2]) / 2,
+                    (n[:, 1] + n[:, 3]) / 2,
+                    n[:, 2] - n[:, 0],
+                    n[:, 3] - n[:, 1],
+                ],
+                -1,
+            ),
+            0.0, 1.0,
+        )
+
+    gt_cxcywh = jax.vmap(to_cxcywh_norm)(batch["gt_boxes"], img_hw)
+
+    def layer_loss_single(cls_pred, box_pred, gt_cc, labels, valid, hw):
+        Q, C = cls_pred.shape
+        assign = box_hungarian_assign(
+            cls_pred, box_pred, labels, gt_cc, valid, hw,
+            cls_weight=cls_weight, l1_weight=l1_weight,
+            giou_weight=giou_weight,
+        )
+        q2g = assign.query2gt  # (Q,) gt index or -1
+        pos = q2g >= 0
+        safe = jnp.clip(q2g, 0, G - 1)
+        tgt = jax.nn.one_hot(labels[safe], C) * pos[:, None]
+        p = jax.nn.sigmoid(cls_pred.astype(jnp.float32))
+        ce = -(tgt * jnp.log(jnp.clip(p, 1e-8)) +
+               (1 - tgt) * jnp.log(jnp.clip(1 - p, 1e-8)))
+        pt = tgt * p + (1 - tgt) * (1 - p)
+        alpha_t = tgt * focal_alpha + (1 - tgt) * (1 - focal_alpha)
+        focal = (alpha_t * (1 - pt) ** focal_gamma * ce).sum()
+
+        npos = jnp.maximum(pos.sum(), 1.0)
+        tgt_box = gt_cc[safe]
+        l1 = jnp.abs(box_pred - tgt_box).sum(-1) * pos
+        scale = jnp.concatenate([hw[::-1], hw[::-1]])
+        gi = generalized_box_iou(
+            cxcywh_to_xyxy(box_pred) * scale, cxcywh_to_xyxy(tgt_box) * scale
+        )
+        gi = jnp.diagonal(gi) * pos
+        return (
+            cls_weight * focal / npos,
+            l1_weight * l1.sum() / npos,
+            giou_weight * (pos.sum() - gi.sum()) / npos,
+        )
+
+    losses = {}
+    layers = list(zip(outputs["cls_layers"], outputs["box_layers"]))
+    layers.append((outputs["enc_cls"], outputs["enc_box"]))
+    n_dec = len(outputs["cls_layers"])
+    for li, (cls_l, box_l) in enumerate(layers):
+        lc, lb, lg = jax.vmap(layer_loss_single)(
+            cls_l, box_l, gt_cxcywh, gt_labels, gt_valid, img_hw
+        )
+        tag = (
+            "" if li == n_dec - 1
+            else (f"d{li}." if li < n_dec else "enc.")
+        )
+        losses[f"{tag}loss_cls"] = lc.mean()
+        losses[f"{tag}loss_bbox"] = lb.mean()
+        losses[f"{tag}loss_iou"] = lg.mean()
+    losses["loss_total"] = sum(losses.values())
+    return losses
+
+
 def pairnet_bbox_loss(
     outputs,
     batch,

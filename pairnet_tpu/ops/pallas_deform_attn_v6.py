@@ -226,6 +226,256 @@ def _ms_deform_attn_v6_impl(value, spatial_shapes, locs, weights):
     return out.reshape(B, Q, H * D)
 
 
+# --------------------------- backward kernel ---------------------------
+#
+# out[q, d] = sum_taps w_t(aw, fx, fy) * V[i_t, d] with w_t = cw(fx, fy) *
+# aw * ok. Per (bh, query tile) the same block machinery runs in reverse:
+#   dV[i, d]  += sum_t (lo_t == i) * g_tap[d, t] * w_t   (one-hot MATMUL,
+#                accumulated into a revisited full-plane output block)
+#   d w_t      = sum_d g_tap[d, t] * V[i_t, d]           (gather + reduce)
+#   d aw, d fx, d fy via the bilinear-factor chain rule on coord-layout
+#   registers. Out-of-plane corners (ok=0) pass no gradient, matching the
+#   mmcv CUDA kernel (SURVEY.md §2.4).
+
+
+def _bilinear_factors(x, y, h, w):
+    """Per-corner (cw, dcw/dfx, dcw/dfy, ok, flat idx) on coord layout."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    out = []
+    for dy, dx, cw, dfx, dfy in (
+        (0, 0, (1 - fy) * (1 - fx), -(1 - fy), -(1 - fx)),
+        (0, 1, (1 - fy) * fx, (1 - fy), -fx),
+        (1, 0, fy * (1 - fx), -fy, (1 - fx)),
+        (1, 1, fy * fx, fy, fx),
+    ):
+        xi = x0i + dx
+        yi = y0i + dy
+        ok = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)).astype(jnp.float32)
+        flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        out.append((flat, cw, dfx, dfy, ok))
+    return out
+
+
+def _bwd_kernel(
+    meta_ref, x_ref, y_ref, a_ref, v_ref, g_ref,
+    dv_ref, dx_ref, dy_ref, da_ref, *, h, w, nqt,
+):
+    D = v_ref.shape[1]
+    ng = x_ref.shape[1]
+    gp = x_ref.shape[2]
+    qpg = TQ // ng
+    P = gp // qpg
+    b, q = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(q == 0)
+    def _():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    x = x_ref[0]
+    y = y_ref[0]
+    aw = a_ref[0]
+    corners = _bilinear_factors(x, y, h, w)  # 4 x (ng, gp) tensors
+    # tap-lane layout: lane = corner*gp + (q_local*P + p)
+    idx_all = jnp.concatenate([c[0] for c in corners], -1)  # (ng, 128)
+    w_all = jnp.concatenate(
+        [(c[1] * aw * c[4]) for c in corners], -1
+    ).astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qpg, BLK), 1)
+    qrow = jax.lax.broadcasted_iota(jnp.int32, (qpg, BLK), 0)
+    sel = ((lane % gp) // P == qrow).astype(jnp.float32)  # (qpg, 128)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+
+    m = meta_ref[b * nqt + q]
+    base = (m >> 12) * BLK
+    nblk = m & 0xFFF
+
+    # expand upstream grads to tap lanes: g_tap[j][d, t] = g[q(t), d]
+    g_taps = []
+    for j in range(ng):
+        g_grp = g_ref[0, j * qpg : (j + 1) * qpg, :]  # (qpg, D)
+        g_taps.append(
+            jax.lax.dot_general(
+                g_grp, sel, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (D, 128)
+
+    def blk_body(k, dws):
+        b0 = pl.multiple_of(base + k * BLK, BLK)
+        vbt = v_ref[0, :, pl.ds(b0, BLK)].astype(jnp.float32)  # (D, 128)
+        dvb = jnp.zeros((D, BLK), jnp.float32)
+        out = []
+        for j in range(ng):
+            rel = idx_all[j : j + 1] - b0  # (1, 128)
+            inb = ((rel >= 0) & (rel < BLK)).astype(jnp.float32)
+            lo = jnp.clip(rel, 0, BLK - 1)
+            gathered = jnp.take_along_axis(
+                vbt, jnp.broadcast_to(lo, (D, BLK)), axis=1
+            )
+            # d w_t = sum_d g_tap * V[i_t]  (only when in this block)
+            dw_blk = jnp.sum(g_taps[j] * gathered, axis=0, keepdims=True)
+            out.append(dws[j] + dw_blk * inb)
+            # dV[c] += onehot^T-weighted tap grads
+            wk = w_all[j : j + 1] * inb  # (1, 128)
+            oh = (jnp.broadcast_to(lo.T, (BLK, BLK)) ==
+                  jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+                  ).astype(jnp.float32)  # (128 taps, 128 pos)
+            dvb = dvb + jax.lax.dot_general(
+                g_taps[j] * wk, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dv_ref[0, :, pl.ds(b0, BLK)] += dvb
+        return tuple(out)
+
+    dws = tuple(jnp.zeros((1, BLK), jnp.float32) for _ in range(ng))
+    dws = jax.lax.fori_loop(0, nblk, blk_body, dws)
+    dw_all = jnp.concatenate(dws, 0)  # (ng, 128) d/d w_t
+
+    # chain rule back to aw / fx / fy on coord layout (ng, gp) slices
+    da = jnp.zeros((ng, gp), jnp.float32)
+    dfx = jnp.zeros((ng, gp), jnp.float32)
+    dfy = jnp.zeros((ng, gp), jnp.float32)
+    for c, (flat, cw, dcw_dfx, dcw_dfy, ok) in enumerate(corners):
+        dw_c = dw_all[:, c * gp : (c + 1) * gp]  # (ng, gp)
+        da = da + dw_c * cw * ok
+        dfx = dfx + dw_c * dcw_dfx * aw * ok
+        dfy = dfy + dw_c * dcw_dfy * aw * ok
+    da_ref[0] = da
+    dx_ref[0] = dfx  # d/dx: fx = x - floor(x) -> dfx/dx = 1
+    dy_ref[0] = dfy
+
+
+def _deform_bwd_v6(values_t, xg, yg, ag, g, base, nblk, h, w):
+    """-> (dvalues_t, dx, dy, da) with the forward's shapes/layouts."""
+    BH, D, S_pad = values_t.shape
+    n_groups, gp = xg.shape[1], xg.shape[2]
+    nqt = base.shape[1]
+    ng = n_groups // nqt
+    meta = ((base // BLK) << 12 | nblk).reshape(-1)
+    kern = functools.partial(_bwd_kernel, h=h, w=w, nqt=nqt)
+    coord_spec = pl.BlockSpec(
+        (1, ng, gp), lambda b, q, *_: (b, q, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, nqt),
+        in_specs=[
+            coord_spec,
+            coord_spec,
+            coord_spec,
+            pl.BlockSpec(
+                (1, D, S_pad), lambda b, q, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, TQ, D), lambda b, q, *_: (b, q, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(  # dvalue: revisited full plane, accumulated
+                (1, D, S_pad), lambda b, q, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            coord_spec,
+            coord_spec,
+            coord_spec,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, D, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BH, n_groups, gp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, n_groups, gp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, n_groups, gp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(meta, xg, yg, ag, values_t, g)
+
+
+def _ms_deform_attn_v6_bwd_impl(value, spatial_shapes, locs, weights, g):
+    """Full backward: returns (dvalue, dlocs, dweights)."""
+    B, S, H, D = value.shape
+    Q = locs.shape[1]
+    P = locs.shape[4]
+    L = len(spatial_shapes)
+    offs = [0]
+    for h, w in spatial_shapes:
+        offs.append(offs[-1] + h * w)
+    qpg = BLK // (4 * P)
+    Qp = _round_up(Q, TQ)
+
+    g = g.reshape(B, Q, H, D).transpose(0, 2, 1, 3).reshape(B * H, Q, D)
+    if Qp != Q:
+        g = jnp.pad(g, ((0, 0), (0, Qp - Q), (0, 0)))
+    g = g.astype(jnp.float32)
+
+    dvalue = jnp.zeros((B, S, H, D), jnp.float32)
+    dlocs = jnp.zeros((B, Q, H, L, P, 2), jnp.float32)
+    dweights = jnp.zeros((B, Q, H, L, P), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        S_l = h * w
+        S_pad = _round_up(S_l + BLK, BLK)
+        vl = jax.lax.dynamic_slice_in_dim(value, offs[lvl], S_l, axis=1)
+        vl = vl.transpose(0, 2, 3, 1).reshape(B * H, D, S_l)
+        vl = jnp.pad(vl, ((0, 0), (0, 0), (0, S_pad - S_l)))
+
+        x = locs[..., lvl, :, 0].astype(jnp.float32) * w - 0.5
+        y = locs[..., lvl, :, 1].astype(jnp.float32) * h - 0.5
+        aw = weights[..., lvl, :].astype(jnp.float32)
+
+        def to_groups(t):
+            t = t.transpose(0, 2, 1, 3).reshape(B * H, Q, P)
+            if Qp != Q:
+                t = jnp.pad(t, ((0, 0), (0, Qp - Q), (0, 0)))
+            return t.reshape(B * H, Qp // qpg, qpg * P)
+
+        xb, yb, ab = to_groups(x), to_groups(y), to_groups(aw)
+        y0 = jnp.floor(yb).astype(jnp.int32)
+        x0 = jnp.floor(xb).astype(jnp.int32)
+        flat_lo = (jnp.clip(y0, 0, h - 1) * w + jnp.clip(x0, 0, w - 1))
+        flat_hi = (jnp.clip(y0 + 1, 0, h - 1) * w + jnp.clip(x0 + 1, 0, w - 1))
+        nqt = Qp // TQ
+        lo = jnp.min(flat_lo.reshape(B * H, nqt, TQ * P), axis=-1)
+        hi = jnp.max(flat_hi.reshape(B * H, nqt, TQ * P), axis=-1)
+        base = jnp.maximum(lo, 0) // BLK * BLK
+        nblk = (hi - base) // BLK + 1
+
+        dvl, dxg, dyg, dag = _deform_bwd_v6(
+            vl, xb, yb, ab, g, base, nblk, h, w
+        )
+
+        def from_groups(t):
+            t = t.reshape(B * H, Qp, P)[:, :Q]
+            return t.reshape(B, H, Q, P).transpose(0, 2, 1, 3)
+
+        dvl = dvl[:, :, :S_l].reshape(B, H, D, S_l).transpose(0, 3, 1, 2)
+        dvalue = jax.lax.dynamic_update_slice_in_dim(
+            dvalue,
+            jax.lax.dynamic_slice_in_dim(dvalue, offs[lvl], S_l, 1) + dvl,
+            offs[lvl], axis=1,
+        )
+        # x = locx * w - 0.5 -> dlocx = dx * w
+        dlocs = dlocs.at[..., lvl, :, 0].set(from_groups(dxg) * w)
+        dlocs = dlocs.at[..., lvl, :, 1].set(from_groups(dyg) * h)
+        dweights = dweights.at[..., lvl, :].set(from_groups(dag))
+    return (
+        dvalue.astype(value.dtype),
+        dlocs.astype(locs.dtype),
+        dweights.astype(weights.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_pallas_v6(value, spatial_shapes, locs, weights):
     return _ms_deform_attn_v6_impl(value, spatial_shapes, locs, weights)
@@ -237,14 +487,8 @@ def _fwd(value, spatial_shapes, locs, weights):
 
 
 def _bwd(spatial_shapes, res, g):
-    from pairnet_tpu.ops.deform_attn import _ms_deform_attn_patch
-
     value, locs, weights = res
-    _, vjp = jax.vjp(
-        lambda v, l, w: _ms_deform_attn_patch(v, spatial_shapes, l, w),
-        value, locs, weights,
-    )
-    return vjp(g)
+    return _ms_deform_attn_v6_bwd_impl(value, spatial_shapes, locs, weights, g)
 
 
 ms_deform_attn_pallas_v6.defvjp(_fwd, _bwd)

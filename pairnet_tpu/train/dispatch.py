@@ -27,6 +27,22 @@ def get_loss_fn(head_type: str, cfg) -> Callable:
         return fn
 
     if head_type == "CrossHeadBBox":
+        if loss_cfg.pop("detection_only", False):
+            # OD pretraining: detection losses only (ref:
+            # configs/deformable_detr/od_r101_vg.py)
+            from pairnet_tpu.models.heads.pairnet_bbox_head import (
+                deformable_detr_detection_loss,
+            )
+
+            def fn(outputs, batch, rng, state):
+                return (
+                    deformable_detr_detection_loss(outputs, batch, **loss_cfg),
+                    state,
+                )
+
+            fn.needs_cum = False
+            return fn
+
         from pairnet_tpu.models.heads.pairnet_bbox_head import pairnet_bbox_loss
 
         def fn(outputs, batch, rng, state):
@@ -37,6 +53,17 @@ def get_loss_fn(head_type: str, cfg) -> Callable:
 
     if head_type == "BaselineHead":
         from pairnet_tpu.models.heads.baseline_head import baseline_loss
+
+        if loss_cfg.get("use_seesaw"):
+            # CrossHead4 variant: Seesaw relation loss carries running
+            # class counts in the train state (ref: baseline_seesaw.py)
+            def fn(outputs, batch, rng, state):
+                return baseline_loss(
+                    outputs, batch, rng, cum_samples=state, **loss_cfg
+                )
+
+            fn.needs_cum = True
+            return fn
 
         def fn(outputs, batch, rng, state):
             return baseline_loss(outputs, batch, rng, **loss_cfg), state

@@ -101,3 +101,53 @@ def test_bbox_loss_and_postprocess():
     b = np.asarray(pred.boxes)
     assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
     assert int(pred.labels.min()) >= 1  # 1-based
+
+
+def test_detection_only_loss_finite_and_grads():
+    """OD pretraining loss (ref: configs/deformable_detr/od_r101_vg.py):
+    per-layer focal + L1 + gIoU over Hungarian-matched queries."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pairnet_tpu.models.heads.pairnet_bbox_head import (
+        deformable_detr_detection_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    B, Q, C, G, L = 2, 12, 9, 5, 3
+    outputs = {
+        "cls_layers": [
+            jnp.asarray(rng.normal(size=(B, Q, C)), jnp.float32)
+            for _ in range(L)
+        ],
+        "box_layers": [
+            jax.nn.sigmoid(jnp.asarray(rng.normal(size=(B, Q, 4)), jnp.float32))
+            for _ in range(L)
+        ],
+        "enc_cls": jnp.asarray(rng.normal(size=(B, Q, C)), jnp.float32),
+        "enc_box": jax.nn.sigmoid(
+            jnp.asarray(rng.normal(size=(B, Q, 4)), jnp.float32)
+        ),
+    }
+    xy = rng.uniform(0, 40, size=(B, G, 2))
+    wh = rng.uniform(5, 30, size=(B, G, 2))
+    batch = {
+        "gt_labels": jnp.asarray(rng.integers(0, C, size=(B, G)), jnp.int32),
+        "gt_boxes": jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32),
+        "gt_valid": jnp.asarray(rng.uniform(size=(B, G)) > 0.2),
+        "image_shape": jnp.asarray([[64, 80]] * B, jnp.int32),
+    }
+    losses = jax.jit(
+        lambda o, b: deformable_detr_detection_loss(o, b)
+    )(outputs, batch)
+    assert np.isfinite(float(losses["loss_total"]))
+    assert "enc.loss_cls" in losses and "d0.loss_bbox" in losses
+
+    def f(cls0):
+        o = dict(outputs)
+        o["cls_layers"] = [cls0] + list(outputs["cls_layers"][1:])
+        return deformable_detr_detection_loss(o, batch)["loss_total"]
+
+    g = jax.jit(jax.grad(f))(outputs["cls_layers"][0])
+    assert float(jnp.abs(g).sum()) > 0

@@ -26,7 +26,10 @@ def parse_args():
     p = argparse.ArgumentParser(description="Evaluate a PSG model")
     p.add_argument("config")
     p.add_argument("checkpoint", nargs="?", help="work dir with ckpts/ (optional)")
-    p.add_argument("--eval", default="sgdet", choices=["sgdet", "predcls", "pairdet"])
+    p.add_argument(
+        "--eval", default="sgdet",
+        choices=["sgdet", "sgcls", "predcls", "pairdet"],
+    )
     p.add_argument("--out", help="dump metrics json here")
     p.add_argument(
         "--save-results",
@@ -128,6 +131,45 @@ def main():
                 variables, {k: jnp.asarray(v) for k, v in b.items()}
             )
         )
+        detector_apply = None
+        if args.eval == "sgdet":
+            # frozen detector provides boxes/labels/masks (ref:
+            # sg_panoptic_fpn.py:166-202 runs it in eval mode)
+            from pairnet_tpu.config.registry import BACKBONES, MODELS, build
+            from pairnet_tpu.utils.torch_convert import unflatten  # noqa: F401
+
+            det_cfg = dict(cfg.model.get("detector", {}))
+            det_cfg.setdefault("type", "PanopticFPN")
+            det_cfg.setdefault("max_dets", pipe_cfg.max_inst)
+            det_ckpt = det_cfg.pop("checkpoint", None)
+            det_backbone = build(
+                det_cfg.pop("backbone", dict(cfg.model.backbone)), BACKBONES
+            )
+            det_type = det_cfg.pop("type")
+            detector = MODELS.get(det_type)(backbone=det_backbone, **det_cfg)
+            det_vars = load_params(
+                detector,
+                det_ckpt,
+                lambda: jax.jit(
+                    lambda k, i, s: detector.init(k, i, s, with_masks=True)
+                )(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, *pipe_cfg.padded_hw(), 3), jnp.float32),
+                    jnp.ones((1, 2), jnp.int32),
+                ),
+            )
+            det_fwd = jax.jit(
+                lambda img, shape: detector.apply(
+                    det_vars, jnp.asarray(img, jnp.float32),
+                    jnp.asarray(shape), with_masks=True,
+                )
+            )
+
+            def detector_apply(img, shape):
+                dets, _sem, det_masks = det_fwd(img, shape)
+                return (dets.boxes, dets.labels, dets.dists, dets.valid,
+                        det_masks)
+
         metrics = evaluate_twostage(
             apply2,
             dataset,
@@ -138,6 +180,7 @@ def main():
             num_predicates=cfg.num_relation_classes,
             num_things=cfg.evaluation.num_things,
             iou_thr=cfg.evaluation.get("iou_thr", 0.5),
+            detector_apply=detector_apply,
         )
     elif head_type != "PairNetHead":
         from pairnet_tpu.evaluation.runner import evaluate_model_with_postprocess

@@ -119,9 +119,10 @@ def main():
         custom_lr_keys=dict(cfg.optimizer.custom_lr_keys),
         schedule=schedule,
     )
-    state = TrainState.create(
-        variables, tx, cfg.num_relation_classes, seed=seed
-    )
+    cum_size = cfg.num_relation_classes
+    if head_type == "BaselineHead" and cfg.get("loss", {}).get("use_seesaw"):
+        cum_size += 1  # CrossHead4 Seesaw runs over R+1 incl the bg column
+    state = TrainState.create(variables, tx, cum_size, seed=seed)
     trainer = Trainer(
         model, tx, state, work_dir, mesh=mesh,
         loss_fn=loss_fn,
