@@ -50,6 +50,9 @@ class PairNetHead(nn.Module):
     num_relation_layers: int = 6
     num_feat_levels: int = 3
     pixel_decoder_layers: int = 6
+    pixel_decoder_ffn: int = 1024
+    decoder_ffn: int = 2048
+    relation_ffn: int = 2048
     relation_ffn_drop: float = 0.1
     # CrossHeadDirect ablation (ref: pairnet/models/relation_heads/
     # pairnet_direct.py:22-120): pair features classified directly through a
@@ -63,6 +66,7 @@ class PairNetHead(nn.Module):
             num_encoder_levels=self.num_feat_levels,
             num_encoder_layers=self.pixel_decoder_layers,
             num_heads=self.num_heads,
+            feedforward_channels=self.pixel_decoder_ffn,
             name="pixel_decoder",
         )
         self.transformer_decoder = Mask2FormerDecoder(
@@ -72,6 +76,7 @@ class PairNetHead(nn.Module):
             num_heads=self.num_heads,
             num_layers=self.num_decoder_layers,
             num_feat_levels=self.num_feat_levels,
+            feedforward_channels=self.decoder_ffn,
             out_channels=self.embed_dims,
             name="transformer_decoder",
         )
@@ -92,7 +97,7 @@ class PairNetHead(nn.Module):
             DecoderLayer(
                 C,
                 self.num_heads,
-                2048,
+                self.relation_ffn,
                 ffn_drop=self.relation_ffn_drop,
                 name=f"relation_layer_{i}",
             )

@@ -30,10 +30,19 @@ from pairnet_tpu.models.layers import (
 
 
 def bilinear_resize(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
-    """torch F.interpolate(mode='bilinear', align_corners=False) for NHWC."""
+    """torch F.interpolate(mode='bilinear', align_corners=False) for NHWC.
+
+    antialias=False matters: torch point-samples when downscaling (e.g. the
+    Mask2Former decoder shrinking mask logits to each attention resolution),
+    while jax.image.resize would otherwise apply a triangle filter.
+    """
     if x.ndim == 3:
-        return jax.image.resize(x, (*size, x.shape[-1]), method="linear")
-    return jax.image.resize(x, (x.shape[0], *size, x.shape[-1]), method="linear")
+        return jax.image.resize(
+            x, (*size, x.shape[-1]), method="linear", antialias=False
+        )
+    return jax.image.resize(
+        x, (x.shape[0], *size, x.shape[-1]), method="linear", antialias=False
+    )
 
 
 class DeformableEncoderLayer(nn.Module):
