@@ -112,6 +112,57 @@ def sigmoid_bce(
     return -(t * jax.nn.log_sigmoid(x) + (1.0 - t) * jax.nn.log_sigmoid(-x))
 
 
+def bce_focal_loss(
+    logits: jnp.ndarray,  # (N, C)
+    targets: jnp.ndarray,  # (N, C) {0,1}
+    num_matches: jnp.ndarray | float,
+    gamma: float = 2.0,
+    alpha: float = 0.25,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Sigmoid focal BCE, `.mean(1).sum() / num_matches` reduction.
+
+    Counterpart of the reference's BCEFocalLoss
+    (ref: pairnet/models/losses/seg_losses.py:103-121).
+    """
+    x = logits.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    prob = jax.nn.sigmoid(x)
+    ce = -(t * jax.nn.log_sigmoid(x) + (1.0 - t) * jax.nn.log_sigmoid(-x))
+    p_t = prob * t + (1.0 - prob) * (1.0 - t)
+    loss = ce * jnp.power(1.0 - p_t, gamma)
+    if alpha >= 0:
+        loss = (alpha * t + (1.0 - alpha) * (1.0 - t)) * loss
+    return loss_weight * jnp.sum(jnp.mean(loss, axis=1)) / num_matches
+
+
+def multilabel_focal_loss(
+    logits: jnp.ndarray,  # (N, C)
+    labels: jnp.ndarray,  # (N,) int
+    weights: jnp.ndarray,  # (N,) {0,1} valid mask
+    class_weight: jnp.ndarray | None = None,  # (C,)
+    gamma: float = 2.0,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Softmax focal NLL with per-class weights, weighted-mean reduction.
+
+    Counterpart of the reference's MultilabelFocalLoss — NLL of
+    (1-p)^gamma * log p at the target class, torch nll_loss(weight=...)
+    normalization (ref: pairnet/models/losses/seg_losses.py:124-150).
+    """
+    C = logits.shape[-1]
+    labels_safe = jnp.clip(labels, 0, C - 1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    focal_logp = jnp.power(1.0 - jnp.exp(logp), gamma) * logp
+    nll = -jnp.take_along_axis(focal_logp, labels_safe[..., None], axis=-1)[..., 0]
+    if class_weight is not None:
+        cw = class_weight[labels_safe]
+        return loss_weight * jnp.sum(nll * cw * weights) / jnp.maximum(
+            jnp.sum(cw * weights), 1e-7
+        )
+    return loss_weight * _wmean(nll, weights)
+
+
 def naive_dice_loss(
     pred_logits: jnp.ndarray,  # (N, P) mask logits at sampled points
     targets: jnp.ndarray,  # (N, P) {0,1}

@@ -174,14 +174,18 @@ def ms_deform_attn(
 
     impl = os.environ.get("PAIRNET_DEFORM_IMPL", impl)
     if impl == "patch" and jax.default_backend() == "tpu":
-        # v6 LUT-block-gather: exact f32, cost scales with the actual tap
-        # span (50 vs 84 ms/layer-call vs v2's soft-N-hot at realistic
-        # offsets, encoder geometry B4 800x1344)
-        impl = "pallas_v6"
+        # v7 packed-pair gather for bf16 values (one 32-bit gather fetches
+        # both x-corners, ~20% over v6); v6 LUT-block-gather for f32 (exact,
+        # cost scales with the actual tap span)
+        impl = (
+            "pallas_v7" if value.dtype == jnp.bfloat16 else "pallas_v6"
+        )
     if impl == "pallas" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn  # noqa: F401 - registers
     if impl == "pallas_v6" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn_v6  # noqa: F401 - registers
+    if impl == "pallas_v7" and impl not in _PALLAS_IMPL:
+        import pairnet_tpu.ops.pallas_deform_attn_v7  # noqa: F401 - registers
     if impl in _PALLAS_IMPL:
         return _PALLAS_IMPL[impl](
             value, spatial_shapes, sampling_locations, attention_weights
