@@ -202,6 +202,9 @@ class MSDeformAttention(nn.Module):
     num_points: int = 4
     # 'patch' resolves to the Pallas kernel on TPU (see ops/deform_attn.py)
     impl: str = "patch"
+    # the caller runs on transposed (column-major) planes: the offsets
+    # layer predicts (dx, dy) in image axes, swap to the transposed frame
+    swap_offset_xy: bool = False
 
     @nn.compact
     def __call__(
@@ -229,6 +232,8 @@ class MSDeformAttention(nn.Module):
                 H, L, P
             ).astype(dtype),
         )(query).reshape(B, Q, H, L, P, 2)
+        if self.swap_offset_xy:
+            offsets = offsets[..., ::-1]
         attn = nn.Dense(
             H * L * P,
             name="attention_weights",

@@ -51,6 +51,10 @@ class DeformableEncoderLayer(nn.Module):
     num_levels: int = 3
     num_points: int = 4
     feedforward_channels: int = 1024
+    # set when the caller feeds column-major token planes (see
+    # MSDeformAttnPixelDecoder): predicted offsets are (dx, dy) in image
+    # axes and must swap to match the transposed reference frame
+    swap_offset_xy: bool = False
 
     @nn.compact
     def __call__(self, x, pos, reference_points, spatial_shapes):
@@ -60,6 +64,7 @@ class DeformableEncoderLayer(nn.Module):
             self.num_heads,
             self.num_levels,
             self.num_points,
+            swap_offset_xy=self.swap_offset_xy,
             name="attn",
         )(x, x, reference_points, spatial_shapes, query_pos=pos)
         x = nn.LayerNorm(name="norm1")(x)
@@ -89,6 +94,18 @@ class MSDeformAttnPixelDecoder(nn.Module):
             "level_encoding", nn.initializers.normal(1.0), (L, C)
         )
 
+        # Landscape inputs run the encoder on TRANSPOSED (column-major)
+        # token planes: the deform-attn kernel scans 128-lane blocks of the
+        # value plane, and a query tile's union block span is (perpendicular
+        # extent) x (lane-dim size) — putting the SHORT image axis in lanes
+        # cuts block visits ~1.8x at this geometry (see
+        # ops/pallas_deform_attn_v7.py).  Pure relabeling of axes: the same
+        # pixels/pos values in column-major order, predicted (dx, dy)
+        # offsets swapped to the transposed frame.  Numerics are unchanged.
+        transpose = all(f.shape[2] >= f.shape[1] for f in feats) and any(
+            f.shape[2] > f.shape[1] for f in feats
+        )
+
         # encoder levels: 0 = lowest resolution (C5)
         enc_feats = []
         pos_embeds = []
@@ -98,7 +115,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
             h, w = f.shape[1], f.shape[2]
             x = nn.Conv(C, (1, 1), use_bias=True, name=f"input_conv_{lvl}")(f)
             x = nn.GroupNorm(num_groups=32, name=f"input_gn_{lvl}")(x)
+            # parity: pos values computed in IMAGE orientation; each token
+            # keeps its own pos value under the transposition
             pos = sine_positional_encoding(h, w, C // 2).astype(x.dtype)
+            if transpose:
+                x = x.transpose(0, 2, 1, 3)
+                pos = pos.transpose(1, 0, 2)
+                h, w = w, h
             # mmdet adds the level embed to the POSITIONAL encoding (not the
             # tokens): value_proj inputs and the residual stream must not
             # carry it (conversion parity with mmcv's decoder)
@@ -122,6 +145,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 L,
                 self.num_points,
                 self.feedforward_channels,
+                swap_offset_xy=transpose,
                 name=f"encoder_layer_{i}",
             )(tokens, pos, ref, spatial_shapes)
 
@@ -129,7 +153,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
         outs = []
         start = 0
         for h, w in spatial_shapes:
-            outs.append(tokens[:, start : start + h * w].reshape(B, h, w, C))
+            m = tokens[:, start : start + h * w].reshape(B, h, w, C)
+            outs.append(m.transpose(0, 2, 1, 3) if transpose else m)
             start += h * w
 
         # FPN top-down for the remaining (higher-res) levels, C2 only here

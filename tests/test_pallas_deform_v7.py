@@ -60,6 +60,28 @@ def test_v7_matches_v6_exactly_on_bf16():
     np.testing.assert_allclose(np.asarray(o6), np.asarray(o7), atol=1e-5)
 
 
+def test_v7_encoder_geometry_q_equals_s():
+    """Q == S (encoder self-attention) triggers the column-major fast path
+    for landscape levels; parity vs the row-gather reference."""
+    rng = np.random.default_rng(7)
+    shapes = ((5, 8), (10, 16), (20, 32))
+    B, H, D, P = 2, 4, 32, 4
+    S = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(B, S, H, D)).astype(np.float32)
+    locs = rng.uniform(-0.2, 1.2, size=(B, S, H, 3, P, 2)).astype(np.float32)
+    w = rng.uniform(size=(B, S, H, 3, P)).astype(np.float32)
+    vb = jnp.asarray(value).astype(jnp.bfloat16)
+    ref = ms_deform_attn(
+        vb.astype(jnp.float32), shapes, jnp.asarray(locs), jnp.asarray(w),
+        impl="rows",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = v7._ms_deform_attn_v7_impl(
+            vb, shapes, jnp.asarray(locs), jnp.asarray(w)
+        )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+
 def test_v7_custom_vjp_grads_match_patch():
     """v7 reuses v6's backward kernel; gradients must match the XLA patch
     formulation's VJP for all three inputs (on bf16-rounded values)."""
