@@ -117,7 +117,11 @@ def main():
                 jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
             ),
         )
-        apply_fn = jax.jit(lambda img: model.apply(variables, jnp.asarray(img)))
+        # variables as jit ARGUMENTS, not closure constants: baking the
+        # weights into the HLO triggers an XLA:TPU fusion-emitter crash
+        # (negative-pad window) and bloats compile time
+        _fwd = jax.jit(lambda v, img: model.apply(v, img))
+        apply_fn = lambda img: _fwd(variables, jnp.asarray(img))
 
     head_key = "relation_head" if "relation_head" in cfg.model else "bbox_head"
     head_type = cfg.model[head_key].type
@@ -126,10 +130,9 @@ def main():
     if cfg.model.type == "SceneGraphTwoStage":
         from pairnet_tpu.evaluation.runner import evaluate_twostage
 
-        apply2 = jax.jit(
-            lambda b: model.apply(
-                variables, {k: jnp.asarray(v) for k, v in b.items()}
-            )
+        _fwd2 = jax.jit(lambda v, b: model.apply(v, b))
+        apply2 = lambda b: _fwd2(
+            variables, {k: jnp.asarray(v) for k, v in b.items()}
         )
         detector_apply = None
         if args.eval == "sgdet":
@@ -158,11 +161,13 @@ def main():
                     jnp.ones((1, 2), jnp.int32),
                 ),
             )
-            det_fwd = jax.jit(
-                lambda img, shape: detector.apply(
-                    det_vars, jnp.asarray(img, jnp.float32),
-                    jnp.asarray(shape), with_masks=True,
+            _det_jit = jax.jit(
+                lambda v, img, shape: detector.apply(
+                    v, img, shape, with_masks=True
                 )
+            )
+            det_fwd = lambda img, shape: _det_jit(
+                det_vars, jnp.asarray(img, jnp.float32), jnp.asarray(shape)
             )
 
             def detector_apply(img, shape):
