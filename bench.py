@@ -37,7 +37,8 @@ def main():
 
     from __graft_entry__ import _flagship
 
-    model = _flagship()
+    backbone = os.environ.get("BENCH_MODEL", "r50")  # r50 | swinb
+    model = _flagship(backbone=backbone)
     B, H, W = int(os.environ.get("BENCH_BATCH", "4")), 800, 1344
     # random (not constant) input: the tunneled runtime can elide repeated
     # identical executions, producing fantasy numbers
@@ -83,7 +84,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "images_per_sec_per_chip_pairnet_r50_sgdet_1333x800",
+                "metric": "images_per_sec_per_chip_pairnet_%s_sgdet_1333x800" % backbone,
                 "value": round(img_per_s, 3),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / REFERENCE_GPU_IMG_PER_S, 3),

@@ -172,8 +172,10 @@ def ms_deform_attn(
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     import os
 
-    impl = os.environ.get("PAIRNET_DEFORM_IMPL", impl)
-    if impl == "patch" and jax.default_backend() == "tpu":
+    env_impl = os.environ.get("PAIRNET_DEFORM_IMPL")
+    if env_impl:
+        impl = env_impl  # explicit override wins, no TPU auto-upgrade
+    elif impl == "patch" and jax.default_backend() == "tpu":
         # v7 packed-pair gather for bf16 values (one 32-bit gather fetches
         # both x-corners, ~20% over v6); v6 LUT-block-gather for f32 (exact,
         # cost scales with the actual tap span)
