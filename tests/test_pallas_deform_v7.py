@@ -61,8 +61,9 @@ def test_v7_matches_v6_exactly_on_bf16():
 
 
 def test_v7_encoder_geometry_q_equals_s():
-    """Q == S (encoder self-attention) triggers the column-major fast path
-    for landscape levels; parity vs the row-gather reference."""
+    """Encoder self-attention geometry (Q == S, landscape levels — the
+    shape the transposed pixel decoder feeds); parity vs the row-gather
+    reference."""
     rng = np.random.default_rng(7)
     shapes = ((5, 8), (10, 16), (20, 32))
     B, H, D, P = 2, 4, 32, 4
