@@ -75,16 +75,20 @@ def shard_dataset_indices(n_items: int, seed: int, epoch: int):
 
 def global_batch_from_host_batches(mesh: Mesh, host_batch: dict) -> dict:
     """Form a globally-sharded batch from per-host local batches
-    (multi-host version of shard_batch; uses host_local_array_to_global)."""
-    try:
-        from jax.experimental import multihost_utils
+    (multi-host version of shard_batch; uses host_local_array_to_global).
 
-        sh = batch_sharding(mesh)
-        return jax.tree_util.tree_map(
-            lambda x: multihost_utils.host_local_array_to_global_array(
-                x, mesh, P("data")
-            ),
-            host_batch,
-        )
-    except Exception:
+    Single-process meshes take the plain ``shard_batch`` path (the two are
+    equivalent there); multi-process meshes go through
+    ``host_local_array_to_global_array`` and any failure RAISES — silently
+    degrading to host-local data would assemble a wrong global batch.
+    """
+    if jax.process_count() == 1:
         return shard_batch(mesh, host_batch)
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            x, mesh, P("data")
+        ),
+        host_batch,
+    )
