@@ -1,0 +1,4 @@
+# R-101 variant (ref: configs/gpsnet/panoptic_fpn_r101_fpn_1x_sgdet_psg.py)
+_base_ = ["panoptic_fpn_r50_sgdet_psg.py"]
+model = dict(backbone=dict(depth=101))
+work_dir = "work_dirs/gpsnet_r101_sgdet_psg"

@@ -1,0 +1,4 @@
+# R-101 variant (ref: configs/motifs/panoptic_fpn_r101_fpn_1x_predcls_psg.py)
+_base_ = ["panoptic_fpn_r50_predcls_psg.py"]
+model = dict(backbone=dict(depth=101))
+work_dir = "work_dirs/motifs_r101_predcls_psg"

@@ -37,7 +37,13 @@ def build_dataset(cfg: Config, split: str):
     from pairnet_tpu.config.registry import DATASETS
     from pairnet_tpu.data import sg  # noqa: F401  (registers SG datasets)
 
-    return DATASETS.get(ds_type)(split=split, **d)
+    balanced = d.pop("balanced", None)
+    ds = DATASETS.get(ds_type)(split=split, **d)
+    if balanced and split == "train":
+        # BalancedRelationDataset wrapper (ref: datasets/balanced_wrapper.py:7,
+        # selected by configs/_base_/datasets/balanced_psg.py)
+        ds = sg.BalancedRelationDataset(ds, **dict(balanced))
+    return ds
 
 
 def build_detector(cfg: Config):

@@ -27,6 +27,10 @@ def parse_args():
     p.add_argument("--max-steps", type=int, default=0, help="cap total steps (smoke)")
     p.add_argument("--max-epochs", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--load-from",
+        help="warm-start params (.npz of converted weights or Orbax ckpt dir)",
+    )
     p.add_argument("--seed", type=int, default=None)
     p.add_argument(
         "--cfg-options", nargs="+", default=[], help="dotted-path overrides k=v"
@@ -51,6 +55,12 @@ def main():
     )
     from pairnet_tpu.train.optim import build_optimizer, step_lr_schedule
     from pairnet_tpu.train.trainer import TrainState, Trainer
+
+    from pairnet_tpu.parallel.mesh import init_distributed
+
+    # multi-host init (counterpart of init_dist/--launcher,
+    # ref: tools/train.py:169-176); single-process runs are a no-op
+    init_distributed()
 
     cfg = load_config(args.config)
     if args.cfg_options:
@@ -97,6 +107,30 @@ def main():
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(seed), jnp.asarray(sample["image"][:1])
         )
+    # load_from warm-start (ref §5.4: the reference's third load path —
+    # e.g. COCO-pretrained Mask2Former, configs/mask2former/pairnet.py:394).
+    # Accepts an .npz of flattened converted params (utils/torch_convert) or
+    # an Orbax checkpoint dir written by a previous run.
+    load_from = args.load_from or cfg.get("load_from")
+    if load_from and os.path.exists(load_from):
+        from pairnet_tpu.utils.torch_convert import merge_pretrained, unflatten
+
+        if load_from.endswith(".npz"):
+            import numpy as np
+
+            pretrained = unflatten(dict(np.load(load_from)))
+        else:
+            import orbax.checkpoint as ocp
+
+            mgr = ocp.CheckpointManager(os.path.abspath(load_from))
+            raw = mgr.restore(
+                mgr.latest_step(), args=ocp.args.StandardRestore()
+            )
+            pretrained = raw["params"] if "params" in raw else raw
+        variables = merge_pretrained(variables, pretrained)
+        logging.info("warm-started params from %s", load_from)
+    elif load_from:
+        logging.warning("load_from %s not found; training from scratch", load_from)
     n_params = sum(
         p.size for p in jax.tree_util.tree_leaves(variables["params"])
     )
