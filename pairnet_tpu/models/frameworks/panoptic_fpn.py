@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from pairnet_tpu.config.registry import MODELS
 from pairnet_tpu.models.necks.fpn import FPN
+from pairnet_tpu.models.necks.pixel_decoder import bilinear_resize
 from pairnet_tpu.ops.boxes import cxcywh_to_xyxy
 from pairnet_tpu.ops.nms import batched_nms, nms
 from pairnet_tpu.ops.roi_align import multilevel_roi_align
@@ -70,11 +71,14 @@ def delta2bbox(anchors, deltas, means=(0, 0, 0, 0), stds=(1, 1, 1, 1), max_hw=No
 
 class RPNHead(nn.Module):
     num_anchors: int = 3
+    channels: int = 256
 
     @nn.compact
     def __call__(self, feats):
         outs = []
-        conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], name="rpn_conv")
+        conv = nn.Conv(
+            self.channels, (3, 3), padding=[(1, 1), (1, 1)], name="rpn_conv"
+        )
         cls = nn.Conv(self.num_anchors, (1, 1), name="rpn_cls")
         reg = nn.Conv(self.num_anchors * 4, (1, 1), name="rpn_reg")
         for f in feats:
@@ -88,12 +92,13 @@ class BBoxHead(nn.Module):
     sg_bbox_head.py keeps score dists)."""
 
     num_classes: int = 80
+    fc_dim: int = 1024
 
     @nn.compact
     def __call__(self, roi_feats):  # (N, 7, 7, C)
         x = roi_feats.reshape(roi_feats.shape[0], -1)
-        x = nn.relu(nn.Dense(1024, name="shared_fc1")(x))
-        x = nn.relu(nn.Dense(1024, name="shared_fc2")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name="shared_fc1")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name="shared_fc2")(x))
         cls = nn.Dense(self.num_classes + 1, name="fc_cls")(x)
         reg = nn.Dense(self.num_classes * 4, name="fc_reg")(x)
         return cls, reg
@@ -103,46 +108,63 @@ class MaskHead(nn.Module):
     """FCN mask head: 4 convs + deconv -> per-class 28x28 masks."""
 
     num_classes: int = 80
+    channels: int = 256
 
     @nn.compact
     def __call__(self, roi_feats):  # (N, 14, 14, C)
         x = roi_feats
         for i in range(4):
             x = nn.relu(
-                nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], name=f"conv{i}")(x)
+                nn.Conv(
+                    self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    name=f"conv{i}",
+                )(x)
             )
         x = nn.relu(
-            nn.ConvTranspose(256, (2, 2), strides=(2, 2), name="upsample")(x)
+            nn.ConvTranspose(
+                self.channels, (2, 2), strides=(2, 2), name="upsample"
+            )(x)
         )
         return nn.Conv(self.num_classes, (1, 1), name="conv_logits")(x)
 
 
 class SemanticHead(nn.Module):
-    """Panoptic FPN semantic branch: upsample+sum FPN levels -> stuff logits."""
+    """Panoptic FPN semantic branch (mmdet PanopticFPNHead parity).
+
+    Per FPN level i (0..3): ``max(1, i)`` ConvUpsample layers, each
+    conv3x3(inner, no bias) -> GN(32) -> ReLU then (while upsamples remain,
+    ``i`` of them) x2 bilinear; summed across levels and 1x1-projected to
+    ``num_stuff + 1`` logits (channel 0 = all things lumped, 1..S = stuff).
+    Ref: configs/_base_/models/panoptic_fpn_r50_fpn_psg.py:10-21 (mmdet
+    PanopticFPNHead + ConvUpsample, inner_channels=128, GN32).
+    """
 
     num_stuff: int = 53
+    inner_channels: int = 128
 
     @nn.compact
     def __call__(self, feats):
-        target = feats[0].shape[1:3]
         acc = None
         for i, f in enumerate(feats[:4]):
             x = f
-            for j in range(max(1, i)):
-                x = nn.relu(
-                    nn.Conv(128, (3, 3), padding=[(1, 1), (1, 1)],
-                            name=f"lvl{i}_conv{j}")(x)
-                )
-                if x.shape[1] < target[0]:
-                    x = jax.image.resize(
-                        x, (x.shape[0], min(x.shape[1] * 2, target[0]),
-                            min(x.shape[2] * 2, target[1]), x.shape[-1]),
-                        "linear",
-                    )
-            if x.shape[1:3] != tuple(target):
-                x = jax.image.resize(x, (x.shape[0], *target, x.shape[-1]), "linear")
+            n_layers = max(1, i)
+            n_up = i
+            for j in range(n_layers):
+                x = nn.Conv(
+                    self.inner_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, name=f"up{i}_conv{j}",
+                )(x)
+                x = nn.GroupNorm(
+                    num_groups=min(32, self.inner_channels),
+                    epsilon=1e-5,  # torch GroupNorm default (flax is 1e-6)
+                    name=f"up{i}_gn{j}",
+                )(x)
+                x = nn.relu(x)
+                if n_up > 0:
+                    n_up -= 1
+                    x = bilinear_resize(x, (x.shape[1] * 2, x.shape[2] * 2))
             acc = x if acc is None else acc + x
-        return nn.Conv(self.num_stuff + 1, (1, 1), name="sem_logits")(acc)
+        return nn.Conv(self.num_stuff + 1, (1, 1), name="conv_logits")(acc)
 
 
 class Detections(NamedTuple):

@@ -88,7 +88,14 @@ def sort_by_x(boxes, valid):
 
 
 class _DecoderStep(nn.Module):
-    """One step of the sequential label decoder (see DecoderRNN)."""
+    """One step of the sequential label decoder (see DecoderRNN).
+
+    The cell is the reference's custom highway LSTM — input_linearity
+    projects the input to SIX gate chunks (i, f, g, o, highway gate,
+    highway input), state_linearity the hidden state to FIVE
+    (ref: motif.py:92-170 lstm_equations) — NOT a standard LSTM cell;
+    matching it exactly is what makes reference checkpoints convertible.
+    """
 
     num_classes: int
     embed_dim: int
@@ -96,25 +103,38 @@ class _DecoderStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, inp):
-        c, prev_lbl = carry
+        (h_prev, c_prev), prev_lbl = carry
         xt, mt, lt = inp  # (B, D), (B,), (B,) with -1 = no teacher forcing
+        H = self.hidden_dim
         embed = self.param(
             "obj_embed", nn.initializers.normal(1.0),
             (self.num_classes + 1, self.embed_dim),
         )
-        cell = nn.OptimizedLSTMCell(self.hidden_dim, name="cell")
         inp_t = jnp.concatenate(
             [xt, embed[jnp.clip(prev_lbl + 1, 0, self.num_classes)]], axis=-1
         )
-        new_c, ht = cell(c, inp_t)
+        pi = nn.Dense(6 * H, name="input_linearity")(inp_t)
+        ps = nn.Dense(5 * H, name="state_linearity")(h_prev)
+        gate = lambda k: pi[:, k * H : (k + 1) * H] + ps[:, k * H : (k + 1) * H]
+        i = jax.nn.sigmoid(gate(0))
+        f = jax.nn.sigmoid(gate(1))
+        g = jnp.tanh(gate(2))
+        o = jax.nn.sigmoid(gate(3))
+        c_new = i * g + f * c_prev
+        ht = o * jnp.tanh(c_new)
+        hw = jax.nn.sigmoid(gate(4))
+        ht = hw * ht + (1.0 - hw) * pi[:, 5 * H : 6 * H]
         dist = nn.Dense(self.num_classes, name="out_obj")(ht)
         pred = jnp.argmax(dist[:, 1:], axis=-1).astype(jnp.int32) + 1
-        # teacher forcing when a label is given; bg(0)/sentinel use argmax
+        # teacher forcing when a label is given; bg(0)/sentinel use argmax.
+        # The emitted prediction IS the committed label (ref: motif.py
+        # out_commitments appends labels_to_embed when labels are given).
         nxt = jnp.where(lt > 0, lt, pred)
         keep = lambda new, old: jnp.where(mt[:, None], new, old)
-        c = jax.tree_util.tree_map(keep, new_c, c)
+        h_new = keep(ht, h_prev)
+        c_new = keep(c_new, c_prev)
         nxt = jnp.where(mt, nxt, prev_lbl)
-        return (c, nxt), (dist, pred)
+        return ((h_new, c_new), nxt), (dist, jnp.where(mt, nxt, 0))
 
 
 class DecoderRNN(nn.Module):
@@ -131,9 +151,10 @@ class DecoderRNN(nn.Module):
     @nn.compact
     def __call__(self, x, mask, labels=None):  # x (B, N, D) sorted
         B, N, D = x.shape
-        init_carry = nn.OptimizedLSTMCell(
-            self.hidden_dim, parent=None
-        ).initialize_carry(jax.random.PRNGKey(0), (B, D + self.embed_dim))
+        init_carry = (
+            jnp.zeros((B, self.hidden_dim)),
+            jnp.zeros((B, self.hidden_dim)),
+        )
         xs = jnp.swapaxes(x, 0, 1)
         ms = jnp.swapaxes(mask, 0, 1)
         # teacher-forcing labels; -1 sentinel means "use own prediction"

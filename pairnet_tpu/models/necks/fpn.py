@@ -11,7 +11,15 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pairnet_tpu.models.necks.pixel_decoder import bilinear_resize
+def nearest_resize(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') for NHWC: floor index mapping
+    (mmdet FPN's default upsample_cfg — bilinear here would break weight-
+    conversion parity)."""
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = size
+    ys = (jnp.arange(h_out) * h_in) // h_out
+    xs = (jnp.arange(w_out) * w_in) // w_out
+    return x[:, ys][:, :, xs]
 
 
 class FPN(nn.Module):
@@ -27,7 +35,7 @@ class FPN(nn.Module):
             for i, f in enumerate(feats)
         ]
         for i in range(n - 1, 0, -1):
-            laterals[i - 1] = laterals[i - 1] + bilinear_resize(
+            laterals[i - 1] = laterals[i - 1] + nearest_resize(
                 laterals[i], laterals[i - 1].shape[1:3]
             )
         outs = [

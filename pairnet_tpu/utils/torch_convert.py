@@ -477,6 +477,176 @@ def convert_mask2former_checkpoint(sd: Mapping) -> dict:
     }
 
 
+def _fc_chw_to_hwc(dst: dict, prefix_out: str, sd: Mapping, prefix_in: str,
+                   c: int, h: int, w: int):
+    """torch Linear over a flattened (C, H, W) roi -> flax Dense over our
+    NHWC flatten (H, W, C): permute the kernel's input rows."""
+    W_t = _t(sd[f"{prefix_in}.weight"])  # (out, C*H*W)
+    out = W_t.shape[0]
+    k = W_t.reshape(out, c, h, w).transpose(0, 2, 3, 1).reshape(out, h * w * c)
+    dst[f"{prefix_out}/kernel"] = k.T
+    if f"{prefix_in}.bias" in sd:
+        dst[f"{prefix_out}/bias"] = _t(sd[f"{prefix_in}.bias"])
+
+
+def _torch_lstm_dir(p: dict, prefix_out: str, sd: Mapping, prefix_in: str,
+                    suffix: str = ""):
+    """One direction of a torch nn.LSTM layer -> flax OptimizedLSTMCell.
+
+    torch packs gates (i, f, g, o) rowwise in weight_ih/weight_hh; flax has
+    per-gate Dense modules ii/if/ig/io (no bias) and hi/hf/hg/ho (bias =
+    torch bias_ih + bias_hh chunk)."""
+    w_ih = _t(sd[f"{prefix_in}.weight_ih_l0{suffix}"])
+    w_hh = _t(sd[f"{prefix_in}.weight_hh_l0{suffix}"])
+    b = _t(sd[f"{prefix_in}.bias_ih_l0{suffix}"]) + _t(
+        sd[f"{prefix_in}.bias_hh_l0{suffix}"]
+    )
+    H = w_hh.shape[1]
+    for g, name in enumerate("ifgo"):
+        p[f"{prefix_out}/i{name}/kernel"] = w_ih[g * H : (g + 1) * H].T
+        p[f"{prefix_out}/h{name}/kernel"] = w_hh[g * H : (g + 1) * H].T
+        p[f"{prefix_out}/h{name}/bias"] = b[g * H : (g + 1) * H]
+
+
+def _masked_bilstm(p: dict, prefix_out: str, sd: Mapping, prefix_in: str):
+    _torch_lstm_dir(p, f"{prefix_out}/fwd/step/cell", sd, prefix_in)
+    _torch_lstm_dir(p, f"{prefix_out}/bwd/step/cell", sd, prefix_in, "_reverse")
+
+
+def convert_motif_head(sd: Mapping, prefix: str = "relation_head.") -> dict:
+    """Reference MotifHead (LSTMContext + post decode + FrequencyBias +
+    RoI/union extractors) -> our MotifHead variables.
+
+    Ref: pairnet/models/relation_heads/motif_head.py:20-54 (post_emb /
+    post_cat / rel_compress / up_dim), approaches/motif.py:259-345
+    (obj_embed1/2, pos_embed Sequential, obj_ctx_rnn, decoder_rnn highway
+    LSTM, edge_ctx_rnn, lin_obj_h/lin_edge_h), approaches/motif.py:22-67
+    (FrequencyBias.obj_baseline), roi_extractors/visual_spatial.py:92-168
+    (visual_bbox_head FCs, spatial_conv).
+
+    Returns {'params': tree, 'batch_stats': tree}.
+    """
+    p: dict = {}
+    stats: dict = {}
+    g = lambda k: f"{prefix}{k}"
+    ctx = "context_layer"
+
+    p[f"{ctx}/obj_embed1"] = _t(sd[g("context_layer.obj_embed1.weight")])
+    p[f"{ctx}/obj_embed2"] = _t(sd[g("context_layer.obj_embed2.weight")])
+    _linear(p, f"{ctx}/pos_fc1", sd, g("context_layer.pos_embed.0"))
+    _norm(p, f"{ctx}/pos_bn", sd, g("context_layer.pos_embed.1"))
+    stats[f"{ctx}/pos_bn/mean"] = _t(
+        sd[g("context_layer.pos_embed.1.running_mean")]
+    )
+    stats[f"{ctx}/pos_bn/var"] = _t(
+        sd[g("context_layer.pos_embed.1.running_var")]
+    )
+    _linear(p, f"{ctx}/pos_fc2", sd, g("context_layer.pos_embed.2"))
+    _masked_bilstm(p, f"{ctx}/obj_ctx_rnn", sd, g("context_layer.obj_ctx_rnn"))
+    _masked_bilstm(p, f"{ctx}/edge_ctx_rnn", sd, g("context_layer.edge_ctx_rnn"))
+    _linear(p, f"{ctx}/lin_obj_h", sd, g("context_layer.lin_obj_h"))
+    _linear(p, f"{ctx}/lin_edge_h", sd, g("context_layer.lin_edge_h"))
+    dec = f"{ctx}/decoder_rnn/step"
+    p[f"{dec}/obj_embed"] = _t(sd[g("context_layer.decoder_rnn.obj_embed.weight")])
+    _linear(p, f"{dec}/input_linearity", sd, g("context_layer.decoder_rnn.input_linearity"))
+    _linear(p, f"{dec}/state_linearity", sd, g("context_layer.decoder_rnn.state_linearity"))
+    _linear(p, f"{dec}/out_obj", sd, g("context_layer.decoder_rnn.out_obj"))
+
+    _linear(p, "post_emb", sd, g("post_emb"))
+    _linear(p, "post_cat", sd, g("post_cat"))
+    _linear(p, "rel_compress", sd, g("rel_compress"))
+    if g("up_dim.weight") in sd:
+        _linear(p, "up_dim", sd, g("up_dim"))
+    if g("freq_bias.obj_baseline.weight") in sd:
+        p["freq_bias/pred_baseline"] = _t(sd[g("freq_bias.obj_baseline.weight")])
+
+    for ours, theirs in (
+        ("bbox_roi_extractor", "bbox_roi_extractor"),
+        ("relation_roi_extractor", "relation_roi_extractor"),
+    ):
+        base = g(f"{theirs}.visual_bbox_head")
+        if f"{base}.0.weight" in sd:
+            W0 = _t(sd[f"{base}.0.weight"])
+            c = W0.shape[1] // 49
+            _fc_chw_to_hwc(p, f"{ours}/fc1", sd, f"{base}.0", c, 7, 7)
+            _linear(p, f"{ours}/fc2", sd, f"{base}.2")
+        spc = g(f"{theirs}.spatial_conv")
+        if f"{spc}.0.conv.weight" in sd:
+            _conv(p, f"{ours}/spatial/conv1", sd, f"{spc}.0.conv")
+            _norm(p, f"{ours}/spatial/bn1", sd, f"{spc}.0.bn")
+            stats[f"{ours}/spatial/bn1/mean"] = _t(sd[f"{spc}.0.bn.running_mean"])
+            stats[f"{ours}/spatial/bn1/var"] = _t(sd[f"{spc}.0.bn.running_var"])
+            _conv(p, f"{ours}/spatial/conv2", sd, f"{spc}.2.conv")
+            _norm(p, f"{ours}/spatial/bn2", sd, f"{spc}.2.bn")
+            stats[f"{ours}/spatial/bn2/mean"] = _t(sd[f"{spc}.2.bn.running_mean"])
+            stats[f"{ours}/spatial/bn2/var"] = _t(sd[f"{spc}.2.bn.running_var"])
+    return {"params": unflatten(p), "batch_stats": unflatten(stats)}
+
+
+def convert_panoptic_fpn(sd: Mapping) -> dict:
+    """mmdet PanopticFPN (panoptic_fpn_r50_fpn_1x_coco) -> our PanopticFPN.
+
+    The reference two-stage path freezes this pretrained detector
+    (ref: configs/motifs/panoptic_fpn_r50_fpn_1x_predcls_psg.py load_from,
+    frameworks/sg_panoptic_fpn.py:166-202); converting it is what makes the
+    MOTIFS/VCTree/IMP/GPS-Net baseline rows reachable.
+
+    Key layout (mmdet 2.25): backbone.*, neck.lateral_convs.{i}.conv /
+    neck.fpn_convs.{i}.conv, rpn_head.rpn_{conv,cls,reg},
+    roi_head.bbox_head.{shared_fcs.0/1, fc_cls, fc_reg},
+    roi_head.mask_head.{convs.0-3.conv, upsample, conv_logits},
+    semantic_head.conv_upsample_layers.{i}.conv.{j}.{conv,gn} +
+    semantic_head.conv_logits.
+    """
+    sd = sd.get("state_dict", sd)
+    bb_params, bb_consts = convert_resnet(sd, "backbone.")
+    p: dict = {}
+    i = 0
+    while f"neck.lateral_convs.{i}.conv.weight" in sd:
+        _conv(p, f"neck/lateral_{i}", sd, f"neck.lateral_convs.{i}.conv")
+        _conv(p, f"neck/fpn_conv_{i}", sd, f"neck.fpn_convs.{i}.conv")
+        i += 1
+    _conv(p, "rpn_head/rpn_conv", sd, "rpn_head.rpn_conv")
+    _conv(p, "rpn_head/rpn_cls", sd, "rpn_head.rpn_cls")
+    _conv(p, "rpn_head/rpn_reg", sd, "rpn_head.rpn_reg")
+
+    W0 = _t(sd["roi_head.bbox_head.shared_fcs.0.weight"])
+    c = W0.shape[1] // 49
+    _fc_chw_to_hwc(p, "bbox_head/shared_fc1", sd, "roi_head.bbox_head.shared_fcs.0", c, 7, 7)
+    _linear(p, "bbox_head/shared_fc2", sd, "roi_head.bbox_head.shared_fcs.1")
+    _linear(p, "bbox_head/fc_cls", sd, "roi_head.bbox_head.fc_cls")
+    _linear(p, "bbox_head/fc_reg", sd, "roi_head.bbox_head.fc_reg")
+
+    for i in range(4):
+        _conv(p, f"mask_head/conv{i}", sd, f"roi_head.mask_head.convs.{i}.conv")
+    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    # kernel (kh, kw, in, out) with SPATIALLY FLIPPED taps (torch's op is the
+    # conv gradient = flipped correlation; verified numerically)
+    w = _t(sd["roi_head.mask_head.upsample.weight"])
+    p["mask_head/upsample/kernel"] = np.ascontiguousarray(
+        w.transpose(2, 3, 0, 1)[::-1, ::-1]
+    )
+    p["mask_head/upsample/bias"] = _t(sd["roi_head.mask_head.upsample.bias"])
+    _conv(p, "mask_head/conv_logits", sd, "roi_head.mask_head.conv_logits")
+
+    i = 0
+    while f"semantic_head.conv_upsample_layers.{i}.conv.0.conv.weight" in sd:
+        j = 0
+        while (
+            f"semantic_head.conv_upsample_layers.{i}.conv.{j}.conv.weight" in sd
+        ):
+            src = f"semantic_head.conv_upsample_layers.{i}.conv.{j}"
+            _conv(p, f"semantic_head/up{i}_conv{j}", sd, f"{src}.conv")
+            _norm(p, f"semantic_head/up{i}_gn{j}", sd, f"{src}.gn")
+            j += 1
+        i += 1
+    _conv(p, "semantic_head/conv_logits", sd, "semantic_head.conv_logits")
+    return {
+        "params": {"backbone": unflatten(bb_params), **unflatten(p)},
+        "constants": {"backbone": unflatten(bb_consts)},
+    }
+
+
 def merge_pretrained(variables: dict, pretrained: dict) -> dict:
     """Overlay ``pretrained`` onto freshly initialized ``variables``,
     checking shapes; missing keys keep their init (ref load_from semantics)."""
