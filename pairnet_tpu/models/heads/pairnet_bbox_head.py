@@ -52,14 +52,17 @@ class ChannelMapper(nn.Module):
         outs = []
         for i, f in enumerate(feats):
             x = nn.Conv(self.out_channels, (1, 1), name=f"conv_{i}")(f)
-            outs.append(nn.GroupNorm(num_groups=32, name=f"gn_{i}")(x))
+            outs.append(nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"gn_{i}")(x))
         i = len(feats)
         while len(outs) < self.num_outs:
+            # mmdet ChannelMapper: the FIRST extra conv consumes the raw last
+            # backbone level; subsequent extras chain on the previous extra
+            src = feats[-1] if len(outs) == len(feats) else outs[-1]
             x = nn.Conv(
                 self.out_channels, (3, 3), strides=(2, 2),
                 padding=[(1, 1), (1, 1)], name=f"extra_conv_{i}",
-            )(outs[-1] if len(outs) > len(feats) - 1 else feats[-1])
-            outs.append(nn.GroupNorm(num_groups=32, name=f"extra_gn_{i}")(x))
+            )(src)
+            outs.append(nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"extra_gn_{i}")(x))
             i += 1
         return tuple(outs)
 
@@ -89,8 +92,34 @@ class DeformableDecoderLayer(nn.Module):
         return nn.LayerNorm(name="norm3")(x + y)
 
 
+class ChunkSwiGLU(nn.Module):
+    """mmcv-FFN-with-SwiGLU-activation semantics (ref: frameworks/fc.py:22-26
+    + config ffn_cfgs act_cfg=SwiGLU): one fused projection to
+    ``feedforward_channels`` whose output chunks into (x, gate) halves,
+    silu(gate) * x, then the output projection. Weight layout matches the
+    reference FFN state dict (layers.0.0 / layers.1)."""
+
+    feedforward_channels: int = 2048
+    out_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.feedforward_channels, name="fc1")(x)
+        a, gate = jnp.split(y, 2, axis=-1)
+        return nn.Dense(self.out_dim, name="fc2")(nn.silu(gate) * a)
+
+
 class RelationFusionLayerRMS(nn.Module):
-    """Relation decoder layer with RMSNorm + SwiGLU FFN (VG variant)."""
+    """Relation decoder layer with RMSNorm + chunked-SwiGLU FFN (VG variant).
+
+    PRE-norm with no trailing norm, per the reference operation_order
+    ("norm", "cross_attn", "norm", "self_attn", "norm", "ffn") —
+    ref: configs/deformable_detr/pairnet_r101_vg.py:91-119; the head loops
+    relation_decoder.layers directly so no decoder post-norm applies
+    (ref: pairnet_bbox_head.py:307-318). The value_pos table exists in the
+    reference but mmcv MultiheadAttention ignores value_pos, so values stay
+    raw here too.
+    """
 
     embed_dims: int = 256
     num_heads: int = 8
@@ -98,16 +127,16 @@ class RelationFusionLayerRMS(nn.Module):
 
     @nn.compact
     def __call__(self, q, qpos, memory, key_pos):
+        n1 = RMSNorm(self.embed_dims, name="norm1")(q)
         x = q + MultiheadAttention(self.embed_dims, self.num_heads, name="cross_attn")(
-            q + qpos, memory + key_pos, memory
+            n1 + qpos, memory + key_pos, memory
         )
-        x = RMSNorm(self.embed_dims, name="norm1")(x)
+        n2 = RMSNorm(self.embed_dims, name="norm2")(x)
         x = x + MultiheadAttention(self.embed_dims, self.num_heads, name="self_attn")(
-            x + qpos, x + qpos, x
+            n2 + qpos, n2 + qpos, n2
         )
-        x = RMSNorm(self.embed_dims, name="norm2")(x)
-        x = x + SwiGLU(self.ffn_hidden, self.embed_dims, name="ffn")(x)
-        return RMSNorm(self.embed_dims, name="norm3")(x)
+        n3 = RMSNorm(self.embed_dims, name="norm3")(x)
+        return x + ChunkSwiGLU(self.ffn_hidden, self.embed_dims, name="ffn")(n3)
 
 
 @HEADS.register()
@@ -125,6 +154,8 @@ class CrossHeadBBox(nn.Module):
     num_levels: int = 4
     with_box_refine: bool = True
     as_two_stage: bool = True
+    ffn_channels: int = 1024
+    relation_ffn_channels: int = 2048
 
     def setup(self):
         C = self.embed_dims
@@ -132,18 +163,24 @@ class CrossHeadBBox(nn.Module):
         self.neck = ChannelMapper(C, self.num_levels, name="neck")
         self.encoder_layers = [
             DeformableEncoderLayer(
-                C, self.num_heads, self.num_levels, 4, 1024, name=f"enc_{i}"
+                C, self.num_heads, self.num_levels, 4, self.ffn_channels,
+                name=f"enc_{i}",
             )
             for i in range(self.num_encoder_layers)
         ]
         self.decoder_layers = [
             DeformableDecoderLayer(
-                C, self.num_heads, self.num_levels, 4, 1024, name=f"dec_{i}"
+                C, self.num_heads, self.num_levels, 4, self.ffn_channels,
+                name=f"dec_{i}",
             )
             for i in range(self.num_decoder_layers)
         ]
         self.level_embed = self.param("level_embed", init, (self.num_levels, C))
-        # two-stage proposal heads on the encoder memory
+        # two-stage proposal heads on the encoder memory (mmdet
+        # DeformableDetrTransformer: enc_output + norm, then the extra
+        # (num_dec+1)-th cls/reg branch scores the proposals)
+        self.enc_output = nn.Dense(C, name="enc_output")
+        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
         self.enc_cls = nn.Dense(self.num_classes, name="enc_cls")
         self.enc_box = MLP(C, 4, 3, name="enc_box")
         self.pos_trans = nn.Dense(2 * C, name="pos_trans")
@@ -167,7 +204,10 @@ class CrossHeadBBox(nn.Module):
         self.rel_value_pos_embed = self.param("rel_value_pos_embed", init, (2 * K, C))
         self.rel_cls_embed = nn.Dense(self.num_relations, name="rel_cls_embed")
         self.relation_layers = [
-            RelationFusionLayerRMS(C, self.num_heads, name=f"relation_layer_{i}")
+            RelationFusionLayerRMS(
+                C, self.num_heads, self.relation_ffn_channels,
+                name=f"relation_layer_{i}",
+            )
             for i in range(self.num_relation_layers)
         ]
 
@@ -201,38 +241,48 @@ class CrossHeadBBox(nn.Module):
             mem = layer(mem, pos, ref, shapes)
 
         Q = self.num_obj_query
-        # two-stage: encoder proposals -> top-k query init
-        enc_logits = self.enc_cls(mem)  # (B, S, C_cls)
-        enc_delta = self.enc_box(mem)
-        enc_boxes = jax.nn.sigmoid(
-            enc_delta + inverse_sigmoid(
-                jnp.concatenate(
-                    [ref[:, :, 0, :], jnp.full((B, ref.shape[1], 2), 0.1)], -1
-                )
-            )
-        )  # (B, S, 4) cxcywh
-        scores = enc_logits.max(-1)
-        _, topk = jax.lax.top_k(scores, Q)
         take = jax.vmap(lambda a, i: a[i])
-        ref_boxes = jax.lax.stop_gradient(take(enc_boxes, topk))  # (B, Q, 4)
-        pos_feat = self.pos_trans_norm(
-            self.pos_trans(
+        # two-stage: encoder proposals -> top-k query init (mmdet
+        # gen_encoder_output_proposals semantics: per-level grid centers with
+        # wh = 0.05 * 2^lvl in logit space; enc_output + LN on the memory;
+        # top-k ranked by the FIRST class logit)
+        props = []
+        for lvl, (h, w) in enumerate(shapes):
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+            wh = jnp.full((h, w, 2), 0.05 * (2.0 ** lvl))
+            props.append(
                 jnp.concatenate(
-                    [
-                        jnp.sin(ref_boxes * 6.2832),
-                        jnp.cos(ref_boxes * 6.2832),
-                    ],
-                    -1,
-                ).repeat(C // 8, axis=-1)[..., : 2 * C]
+                    [xx[..., None], yy[..., None], wh], -1
+                ).reshape(h * w, 4)
             )
-        )
+        proposals = jnp.concatenate(props, 0)[None]  # (1, S, 4) in (0,1)
+        proposals_unact = inverse_sigmoid(proposals)
+        out_mem = self.enc_output_norm(self.enc_output(mem))
+        enc_logits = self.enc_cls(out_mem)  # (B, S, C_cls)
+        enc_unact = self.enc_box(out_mem) + proposals_unact
+        enc_boxes = jax.nn.sigmoid(enc_unact)  # (B, S, 4) cxcywh
+        _, topk = jax.lax.top_k(enc_logits[..., 0], Q)
+        topk_unact = jax.lax.stop_gradient(take(enc_unact, topk))  # (B, Q, 4)
+        ref_boxes = jax.nn.sigmoid(topk_unact)
+        # get_proposal_pos_embed: 128-feat sine embedding of the 4 coords
+        scale = 2.0 * 3.141592653589793
+        dim_t = jnp.arange(128, dtype=jnp.float32)
+        dim_t = 10000.0 ** (2.0 * (dim_t // 2) / 128.0)
+        pe = ref_boxes[..., None] * scale / dim_t  # (B, Q, 4, 128)
+        pe = jnp.stack(
+            [jnp.sin(pe[..., 0::2]), jnp.cos(pe[..., 1::2])], -1
+        ).reshape(B, Q, 4 * 128)
+        pos_feat = self.pos_trans_norm(self.pos_trans(pe.astype(mem.dtype)))
         qpos, q = jnp.split(pos_feat, 2, axis=-1)
 
         cls_layers, box_layers = [], []
         for i, layer in enumerate(self.decoder_layers):
-            # deformable cross-attn reference = box centers, per level
+            # deformable cross-attn on 4-dim box references (mmcv MSDA:
+            # loc = cxcy + offset / P * wh * 0.5)
             ref_pts = jnp.broadcast_to(
-                ref_boxes[:, :, None, :2], (B, Q, self.num_levels, 2)
+                ref_boxes[:, :, None, :], (B, Q, self.num_levels, 4)
             )
             q = layer(q, qpos, mem, ref_pts, shapes)
             cls_layers.append(self.cls_branches[i](q))
@@ -242,7 +292,17 @@ class CrossHeadBBox(nn.Module):
             if self.with_box_refine:
                 ref_boxes = jax.lax.stop_gradient(new_boxes)
 
-        queries = q  # (B, Q, C)
+        # rank the final queries by class confidence and reorder everything
+        # (ref: pairnet_bbox_head.py:250-268 — softmax over the QUERY axis,
+        # max over classes, topk = a permutation of all Q queries; the PPN
+        # runs on DETACHED reordered features)
+        q_scores = jax.nn.softmax(
+            cls_layers[-1].astype(jnp.float32), axis=1
+        ).max(-1)
+        _, order = jax.lax.top_k(q_scores, Q)
+        cls_layers[-1] = take(cls_layers[-1], order)
+        box_layers[-1] = take(box_layers[-1], order)
+        queries = jax.lax.stop_gradient(take(q, order))  # (B, Q, C)
         # --- PPN ---
         l2n = lambda v: v / jnp.maximum(
             jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12
@@ -269,7 +329,10 @@ class CrossHeadBBox(nn.Module):
             )
         rel_preds = self.rel_cls_embed(rel_q)
 
-        sg = jax.lax.stop_gradient
+        # sub/obj class logits gathered WITHOUT detach: the subobj CE is what
+        # trains the decoder/cls branches in the reference (detection losses
+        # are commented out there; only the PPN input features are detached,
+        # ref: pairnet_bbox_head.py:261 hs.clone().detach())
         return {
             "cls": cls_layers[-1],  # (B, Q, C_cls) sigmoid-style logits
             "box": box_layers[-1],
@@ -279,10 +342,10 @@ class CrossHeadBBox(nn.Module):
             "enc_box": enc_boxes,
             "rel": rel_preds,
             "importance": importance,
-            "sub": take(sg(cls_layers[-1]), sub_pos),
-            "obj": take(sg(cls_layers[-1]), obj_pos),
-            "sub_box": take(sg(box_layers[-1]), sub_pos),
-            "obj_box": take(sg(box_layers[-1]), obj_pos),
+            "sub": take(cls_layers[-1], sub_pos),
+            "obj": take(cls_layers[-1], obj_pos),
+            "sub_box": take(box_layers[-1], sub_pos),
+            "obj_box": take(box_layers[-1], obj_pos),
             "sub_pos": sub_pos,
             "obj_pos": obj_pos,
             "queries": queries,

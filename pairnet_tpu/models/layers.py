@@ -242,13 +242,19 @@ class MSDeformAttention(nn.Module):
         )(query).reshape(B, Q, H, L * P)
         attn = jax.nn.softmax(attn, axis=-1).reshape(B, Q, H, L, P)
 
-        normalizer = jnp.asarray(
-            [[w, h] for h, w in spatial_shapes], jnp.float32
-        )  # (L, 2) as (w, h)
-        locs = (
-            reference_points[:, :, None, :, None, :]
-            + offsets / normalizer[None, None, None, :, None, :]
-        )
+        if reference_points.shape[-1] == 4:
+            # box references (deformable-DETR with_box_refine/two-stage):
+            # loc = cxcy + offset / P * wh * 0.5 (mmcv MSDA semantics)
+            ref = reference_points[:, :, None, :, None, :]
+            locs = ref[..., :2] + offsets / P * ref[..., 2:] * 0.5
+        else:
+            normalizer = jnp.asarray(
+                [[w, h] for h, w in spatial_shapes], jnp.float32
+            )  # (L, 2) as (w, h)
+            locs = (
+                reference_points[:, :, None, :, None, :]
+                + offsets / normalizer[None, None, None, :, None, :]
+            )
         out = ms_deform_attn(v, spatial_shapes, locs, attn, impl=self.impl)
         # kernels accumulate/return f32; cast back so bf16 inference keeps
         # the downstream projections/FFNs on the bf16 MXU path

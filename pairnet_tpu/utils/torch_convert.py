@@ -583,6 +583,126 @@ def convert_motif_head(sd: Mapping, prefix: str = "relation_head.") -> dict:
     return {"params": unflatten(p), "batch_stats": unflatten(stats)}
 
 
+def convert_crosshead_bbox(sd: Mapping, prefix: str = "bbox_head.") -> dict:
+    """Reference CrossHeadBBox (Deformable-DETR + Pair-Net relation parts)
+    -> our CrossHeadBBox subtree (flat '/'-keyed), incl. the neck.
+
+    Ref layout: mmdet ChannelMapper (neck.convs/extra_convs), mmdet
+    DeformableDetrTransformer (bbox_head.transformer.{encoder,decoder}.layers,
+    level_embeds, enc_output(+norm), pos_trans_fc(+norm)), cloned
+    cls/reg_branches (index num_dec = encoder-proposal head), PPN MLPs,
+    ConvTiny matrix learner, RMSNorm/chunked-SwiGLU relation decoder
+    (ref: pairnet/models/relation_heads/pairnet_bbox_head.py:53-136,
+    configs/deformable_detr/pairnet_r101_vg.py:85-120).
+    """
+    p: dict = {}
+    g = lambda k: f"{prefix}{k}"
+    # neck: mmdet ChannelMapper (model-level "neck." prefix)
+    i = 0
+    while f"neck.convs.{i}.conv.weight" in sd:
+        _conv(p, f"neck/conv_{i}", sd, f"neck.convs.{i}.conv")
+        _norm(p, f"neck/gn_{i}", sd, f"neck.convs.{i}.gn")
+        i += 1
+    n_in = i
+    j = 0
+    while f"neck.extra_convs.{j}.conv.weight" in sd:
+        _conv(p, f"neck/extra_conv_{n_in + j}", sd, f"neck.extra_convs.{j}.conv")
+        _norm(p, f"neck/extra_gn_{n_in + j}", sd, f"neck.extra_convs.{j}.gn")
+        j += 1
+
+    tr = g("transformer.")
+    if f"{tr}level_embeds" in sd:
+        p["level_embed"] = _t(sd[f"{tr}level_embeds"])
+    i = 0
+    while f"{tr}encoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{tr}encoder.layers.{i}"
+        out = f"enc_{i}"
+        for n in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+            _linear(p, f"{out}/attn/{n}", sd, f"{src}.attentions.0.{n}")
+        _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+        _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+        i += 1
+    i = 0
+    while f"{tr}decoder.layers.{i}.norms.0.weight" in sd:
+        src = f"{tr}decoder.layers.{i}"
+        out = f"dec_{i}"
+        _mha(p, f"{out}/self_attn", sd, f"{src}.attentions.0.attn")
+        for n in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+            _linear(p, f"{out}/cross_attn/{n}", sd, f"{src}.attentions.1.{n}")
+        _norm(p, f"{out}/norm1", sd, f"{src}.norms.0")
+        _norm(p, f"{out}/norm2", sd, f"{src}.norms.1")
+        _norm(p, f"{out}/norm3", sd, f"{src}.norms.2")
+        _linear(p, f"{out}/ffn_fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn_fc2", sd, f"{src}.ffns.0.layers.1")
+        i += 1
+    n_dec = i
+    if f"{tr}enc_output.weight" in sd:
+        _linear(p, "enc_output", sd, f"{tr}enc_output")
+        _norm(p, "enc_output_norm", sd, f"{tr}enc_output_norm")
+        _linear(p, "pos_trans", sd, f"{tr}pos_trans_fc")
+        _norm(p, "pos_trans_norm", sd, f"{tr}pos_trans_norm")
+
+    for i in range(n_dec):
+        if g(f"cls_branches.{i}.weight") not in sd:
+            continue
+        _linear(p, f"cls_{i}", sd, g(f"cls_branches.{i}"))
+        for jj, li in enumerate((0, 2, 4)):
+            _linear(p, f"reg_{i}/layers_{jj}", sd, g(f"reg_branches.{i}.{li}"))
+    if g(f"cls_branches.{n_dec}.weight") in sd:  # two-stage proposal head
+        _linear(p, "enc_cls", sd, g(f"cls_branches.{n_dec}"))
+        for jj, li in enumerate((0, 2, 4)):
+            _linear(p, f"enc_box/layers_{jj}", sd, g(f"reg_branches.{n_dec}.{li}"))
+
+    for name in ("sub_query_update", "obj_query_update"):
+        if g(f"{name}.0.weight") in sd:
+            for jj, li in enumerate((0, 2, 4)):
+                _linear(p, f"{name}/layers_{jj}", sd, g(f"{name}.{li}"))
+    if g("rel_cls_embed.weight") in sd:
+        _linear(p, "rel_cls_embed", sd, g("rel_cls_embed"))
+    for name in (
+        "rel_query_feat", "rel_query_pos_embed",
+        "rel_key_pos_embed", "rel_value_pos_embed",
+    ):
+        if g(f"{name}.weight") in sd:
+            p[name] = _t(sd[g(f"{name}.weight")])
+    for i in range(3):
+        if g(f"update_importance.conv_layers.{i}.0.weight") in sd:
+            _conv(
+                p, f"update_importance/conv{i}",
+                sd, g(f"update_importance.conv_layers.{i}.0"),
+            )
+    # relation decoder: pre-norm RMSNorm (weight only) + chunked SwiGLU FFN
+    i = 0
+    while g(f"relation_decoder.layers.{i}.norms.0.weight") in sd:
+        src = g(f"relation_decoder.layers.{i}")
+        out = f"relation_layer_{i}"
+        _mha(p, f"{out}/cross_attn", sd, f"{src}.attentions.0.attn")
+        _mha(p, f"{out}/self_attn", sd, f"{src}.attentions.1.attn")
+        for k in (1, 2, 3):
+            p[f"{out}/norm{k}/weight"] = _t(sd[f"{src}.norms.{k - 1}.weight"])
+        _linear(p, f"{out}/ffn/fc1", sd, f"{src}.ffns.0.layers.0.0")
+        _linear(p, f"{out}/ffn/fc2", sd, f"{src}.ffns.0.layers.1")
+        i += 1
+    return p
+
+
+def convert_crosshead_bbox_checkpoint(sd: Mapping) -> dict:
+    """Full reference VG/OIV6 checkpoint (PSGTr + CrossHeadBBox) ->
+    variables matching PSGTr(ResNet, CrossHeadBBox).init; also accepts a
+    plain Deformable-DETR detection checkpoint (od_r101_vg warm start,
+    ref: configs/deformable_detr/pairnet_r101_vg.py:357) — relation keys
+    simply stay at init via merge_pretrained."""
+    sd = sd.get("state_dict", sd)
+    bb_params, bb_consts = convert_resnet(sd, "backbone.")
+    head = convert_crosshead_bbox(sd, "bbox_head.")
+    return {
+        "params": {"backbone": unflatten(bb_params), "bbox_head": unflatten(head)},
+        "constants": {"backbone": unflatten(bb_consts)},
+    }
+
+
 def convert_panoptic_fpn(sd: Mapping) -> dict:
     """mmdet PanopticFPN (panoptic_fpn_r50_fpn_1x_coco) -> our PanopticFPN.
 

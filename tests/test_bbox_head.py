@@ -30,7 +30,7 @@ def test_forward_shapes_and_refinement():
     assert np.isfinite(np.asarray(out["rel"])).all()
     # RMSNorm relation decoder params exist
     assert "relation_layer_0" in params["params"]["bbox_head"]
-    assert "w1" in params["params"]["bbox_head"]["relation_layer_0"]["ffn"]
+    assert "fc1" in params["params"]["bbox_head"]["relation_layer_0"]["ffn"]  # chunked SwiGLU
 
 
 def _tiny_bbox_batch(rng, B=2, G=4, Rm=5):
