@@ -250,17 +250,22 @@ class LSTMContext(nn.Module):
 class IMPContext(nn.Module):
     """Iterative message passing (ref: approaches/imp.py:17-170), fixed-shape.
 
-    Node/edge GRUs exchange messages through the pair incidence structure for
-    ``num_iter`` rounds; messages are gated by learned sigmoid weights.
+    Exact reference semantics: node/edge GRUs (torch GRUCell math), EDGE
+    messages gated by sub_vert_w_fc / obj_vert_w_fc on the endpoint states,
+    NODE messages = incidence-matmul of out_edge_w_fc / in_edge_w_fc -gated
+    edge states (no normalization). Padded pairs contribute nothing to the
+    node scatter; padded objects are masked at the loss.
     """
 
     num_classes: int
     num_predicates: int  # with background
     hidden_dim: int = 512
     num_iter: int = 2
+    mode: str = "predcls"
 
     @nn.compact
-    def __call__(self, roi_feats, union_feats, pairs, obj_valid, pair_valid):
+    def __call__(self, roi_feats, union_feats, pairs, obj_valid, pair_valid,
+                 labels=None):
         """roi_feats (B,N,D); union_feats (B,P,D); pairs (B,P,2)."""
         H = self.hidden_dim
         obj_rep = nn.Dense(H, name="obj_unary")(roi_feats)
@@ -278,46 +283,61 @@ class IMPContext(nn.Module):
         obj_idx = pairs[..., 1]
         pv = pair_valid.astype(jnp.float32)[..., None]
 
-        hx_obj = jnp.zeros((B, N, H))
-        hx_rel = jnp.zeros((B, P, H))
-        hx_obj, _ = node_gru(hx_obj, obj_rep)
-        hx_rel, _ = edge_gru(hx_rel, rel_rep)
+        # vert_factor[0] / edge_factor[0]: GRU step from zero hidden state
+        vert, _ = node_gru(jnp.zeros((B, N, H)), obj_rep)
+        edge, _ = edge_gru(jnp.zeros((B, P, H)), rel_rep)
 
         take = jax.vmap(lambda a, i: a[i])
         for _ in range(self.num_iter):
-            sub_h = take(hx_obj, sub_idx)  # (B, P, H)
-            obj_h = take(hx_obj, obj_idx)
-            # messages to nodes: gated edge states scattered to sub/obj
-            w_s = jax.nn.sigmoid(sub_w(jnp.concatenate([sub_h, hx_rel], -1))) * pv
-            w_o = jax.nn.sigmoid(obj_w(jnp.concatenate([obj_h, hx_rel], -1))) * pv
+            sub_h = take(vert, sub_idx)  # (B, P, H)
+            obj_h = take(vert, obj_idx)
+            # edge message: gated endpoint states (ref: imp.py:124-135)
+            w_s = jax.nn.sigmoid(sub_w(jnp.concatenate([sub_h, edge], -1)))
+            w_o = jax.nn.sigmoid(obj_w(jnp.concatenate([obj_h, edge], -1)))
+            edge_msg = w_s * sub_h + w_o * obj_h
+            new_edge, _ = edge_gru(edge, edge_msg)
+            # node message: incidence-matmul of gated edge states
+            # (ref: imp.py:138-148, sub2rel @ pre_out + obj2rel @ pre_in)
+            pre_out = jax.nn.sigmoid(
+                out_w(jnp.concatenate([sub_h, edge], -1))
+            ) * edge * pv
+            pre_in = jax.nn.sigmoid(
+                in_w(jnp.concatenate([obj_h, edge], -1))
+            ) * edge * pv
 
             def scatter(msg, idx):
                 return jax.vmap(
                     lambda m, i: jnp.zeros((N, H)).at[i].add(m)
                 )(msg, idx)
 
-            node_msg = scatter(w_s * hx_rel, sub_idx) + scatter(w_o * hx_rel, obj_idx)
-            denom = scatter(w_s, sub_idx) + scatter(w_o, obj_idx)
-            node_msg = node_msg / jnp.maximum(denom, 1.0)
-            # messages to edges: gated endpoint states
-            w_out = jax.nn.sigmoid(out_w(jnp.concatenate([sub_h, hx_rel], -1)))
-            w_in = jax.nn.sigmoid(in_w(jnp.concatenate([obj_h, hx_rel], -1)))
-            edge_msg = (w_out * sub_h + w_in * obj_h) / 2.0
+            vert_ctx = scatter(pre_out, sub_idx) + scatter(pre_in, obj_idx)
+            vert, _ = node_gru(vert, vert_ctx)
+            edge = new_edge
 
-            hx_obj, _ = node_gru(hx_obj, node_msg)
-            hx_rel, _ = edge_gru(hx_rel, edge_msg * pv)
-
-        obj_dists = nn.Dense(self.num_classes, name="obj_fc")(hx_obj)
-        rel_dists = nn.Dense(self.num_predicates, name="rel_fc")(hx_rel)
+        if self.mode == "predcls" and labels is not None:
+            obj_dists = jax.nn.one_hot(
+                jnp.clip(labels, 0, self.num_classes - 1), self.num_classes
+            )
+        else:
+            obj_dists = nn.Dense(self.num_classes, name="obj_fc")(vert)
+        rel_dists = nn.Dense(self.num_predicates, name="rel_fc")(edge)
         return obj_dists, rel_dists
 
 
 class DMPContext(nn.Module):
-    """GPS-Net direction-aware message passing (ref: approaches/dmp.py:23-170)."""
+    """GPS-Net direction-aware message passing (ref: approaches/dmp.py:23-170).
+
+    Exact reference semantics on the VALID subgraph: attention = sigmoid of
+    the scattered pair coefficients with zero diagonal (absent ordered pairs
+    among valid objects keep sigmoid(0) = 0.5 like the reference), row-
+    normalized; context = [A @ W_t3(x), A^T @ W_t3(x)] -> trans; output
+    features relu(x + trans) (ref: dmp.py:87-160).
+    """
 
     num_classes: int
     embed_dim: int = 200
     obj_dim: int = 1024
+    mode: str = "predcls"
 
     @nn.compact
     def __call__(self, roi_feats, union_feats, pairs, boxes, valid, pair_valid,
@@ -326,7 +346,7 @@ class DMPContext(nn.Module):
         obj_embed = self.param(
             "obj_embed", nn.initializers.normal(1.0), (C, self.embed_dim)
         )
-        if labels is not None:
+        if self.mode == "predcls" and labels is not None:
             emb = obj_embed[jnp.clip(labels, 0, C - 1)]
         else:
             emb = jax.lax.stop_gradient(dists) @ obj_embed
@@ -348,10 +368,11 @@ class DMPContext(nn.Module):
         wo = nn.Dense(self.obj_dim, name="wo")
         wu = nn.Dense(self.obj_dim, name="wu")
         w1 = nn.Dense(1, name="w")
+        w_t3 = nn.Dense(self.obj_dim // 2, name="W_t3")
         trans = nn.Sequential(
             [
                 nn.Dense(self.obj_dim // 4, name="t1"),
-                nn.LayerNorm(name="t_ln"),
+                nn.LayerNorm(epsilon=1e-5, name="t_ln"),
                 nn.relu,
                 nn.Dense(self.obj_dim, name="t2"),
             ]
@@ -362,24 +383,33 @@ class DMPContext(nn.Module):
         sub_f = take(x, pairs[..., 0])
         obj_f = take(x, pairs[..., 1])
         coeff = w1(ws(sub_f) * wo(obj_f) * wu(union_feats))[..., 0]  # (B, P)
-        coeff = jnp.where(pair_valid, coeff, -1e9)
 
-        # attention matrix (N, N): sigmoid at related pairs, zero diagonal
-        def build_attn(c, prs, pvalid):
+        # attention (ref get_attention): scatter-ADD coefficients, sigmoid,
+        # zero diagonal; valid-object masking replaces the reference's
+        # variable N (padded rows/cols contribute nothing)
+        def build_attn(c, prs, pvalid, v):
             a = jnp.zeros((N, N)).at[prs[:, 0], prs[:, 1]].add(
                 jnp.where(pvalid, c, 0.0)
             )
             a = jax.nn.sigmoid(a) * (1.0 - jnp.eye(N))
-            has = jnp.zeros((N, N)).at[prs[:, 0], prs[:, 1]].max(
-                pvalid.astype(jnp.float32)
-            )
-            a = a * has
+            vm = v.astype(jnp.float32)
+            a = a * vm[:, None] * vm[None, :]
             return a / jnp.maximum(a.sum(axis=1, keepdims=True), 1e-6)
 
-        attn = jax.vmap(build_attn)(coeff, pairs, pair_valid)  # (B, N, N)
-        msg = jnp.einsum("bnm,bmd->bnd", attn, x)
-        x = x + trans(msg)
+        attn = jax.vmap(build_attn)(coeff, pairs, pair_valid, valid)
+        t3 = nn.relu(w_t3(x))  # (B, N, obj_dim/2)
+        ctx = jnp.concatenate(
+            [
+                jnp.einsum("bnm,bmd->bnd", attn, t3),
+                jnp.einsum("bmn,bmd->bnd", attn, t3),
+            ],
+            -1,
+        )  # (B, N, obj_dim): [A @ t3, A^T @ t3] (ref dmp.py:16-21 matmul)
+        x = nn.relu(x + trans(ctx))
         x = x * valid[..., None]
 
-        obj_dists = nn.Dense(C, name="out_obj")(x)
+        if self.mode == "predcls" and labels is not None:
+            obj_dists = jax.nn.one_hot(jnp.clip(labels, 0, C - 1), C)
+        else:
+            obj_dists = nn.Dense(C, name="out_obj")(x)
         return obj_dists, x

@@ -166,13 +166,14 @@ class IMPHead(TwoStageRelationHead):
         self.context_layer = IMPContext(
             self.num_classes, self.num_predicates,
             hidden_dim=self.hidden_dim, num_iter=self.num_iter,
-            name="context_layer",
+            mode=self.mode, name="context_layer",
         )
 
     def predict(self, roi_feats, union_feats, batch):
         obj_dists, rel_scores = self.context_layer(
             roi_feats, union_feats, batch["pairs"],
             batch["det_valid"], batch["pair_valid"],
+            labels=batch.get("det_labels"),
         )
         if self.mode == "predcls":
             obj_preds = batch["det_labels"]
@@ -198,13 +199,17 @@ class GPSHead(TwoStageRelationHead):
     def setup_head(self):
         self.context_layer = DMPContext(
             self.num_classes, embed_dim=self.embed_dim, obj_dim=self.roi_dim,
-            name="context_layer",
+            mode=self.mode, name="context_layer",
         )
-        # fused relation inference (ref: gps_head.py:43-65): pair feature =
-        # W_t3(sub) * W_t3(obj) fused with union, then classifier
-        self.w_t3 = nn.Dense(self.roi_dim // 2, name="W_t3")
-        self.merge = nn.Dense(self.roi_dim, name="merge")
-        self.rel_compress = nn.Dense(self.num_predicates, name="rel_compress")
+        # fused relation inference (ref: gps_head.py:31-65 relation_infer):
+        # t1/t2 project the sub/obj halves of the pair feature, t3 the union;
+        # t4 = relu(t1+t2) - (t1-t2)^2; rel = out_rel(relu(t4+t3)-(t4-t3)^2)
+        self.w_proj1 = nn.Dense(self.roi_dim, name="w_proj1")
+        self.w_proj2 = nn.Dense(self.roi_dim, name="w_proj2")
+        self.w_proj3 = nn.Dense(self.roi_dim, name="w_proj3")
+        self.out_rel = nn.Dense(self.num_predicates, name="out_rel")
+        if self.use_bias:
+            self.wp = nn.Dense(self.num_predicates, name="wp")
 
     def predict(self, roi_feats, union_feats, batch):
         obj_dists, ctx = self.context_layer(
@@ -214,26 +219,25 @@ class GPSHead(TwoStageRelationHead):
         )
         if self.mode == "predcls":
             obj_preds = batch["det_labels"]
-            obj_dists = jax.nn.one_hot(
-                jnp.clip(batch["det_labels"], 0, self.num_classes - 1),
-                self.num_classes,
-            )
         else:
+            # ref dmp.py:156-158: preds from softmaxed out_obj scores
             obj_preds = obj_dists[..., 1:].argmax(-1).astype(jnp.int32) + 1
         take = jax.vmap(lambda a, i: a[i])
         pairs = batch["pairs"]
-        sub_f = nn.relu(self.w_t3(take(ctx, pairs[..., 0])))
-        obj_f = nn.relu(self.w_t3(take(ctx, pairs[..., 1])))
-        fused = nn.relu(
-            self.merge(jnp.concatenate([sub_f, obj_f], -1))
-        ) * union_feats
-        rel_scores = self.rel_compress(fused)
+        t1 = self.w_proj1(take(ctx, pairs[..., 0]))
+        t2 = self.w_proj2(take(ctx, pairs[..., 1]))
+        t3 = self.w_proj3(union_feats)
+        t4 = nn.relu(t1 + t2) - (t1 - t2) * (t1 - t2)
+        rel_scores = self.out_rel(nn.relu(t4 + t3) - (t4 - t3) * (t4 - t3))
         if self.use_bias:
+            # ref gps_head.py:131-149: additive bias = sigmoid(wp(union)) *
+            # log-softmaxed frequency row of the predicted pair
             pair_pred = jnp.stack(
                 [take(obj_preds, pairs[..., 0]), take(obj_preds, pairs[..., 1])],
                 -1,
             )
-            rel_scores = rel_scores + self.freq_bias(pair_pred)
+            log_freq = jax.nn.log_softmax(self.freq_bias(pair_pred), axis=-1)
+            rel_scores = rel_scores + jax.nn.sigmoid(self.wp(union_feats)) * log_freq
         return {
             "refine_scores": obj_dists,
             "obj_preds": obj_preds,

@@ -14,6 +14,12 @@ with per-group occupancy instead of ng * nblk.
 Numerics are identical to v7 (the skipped work contributes exactly zero).
 Packing/layout/backward are v7's; see that module for the contract.
 
+MEASURED RESULT (v5e, tools/bench_deform_ab.py): 6x SLOWER than v7
+(226 vs 37 ms tight, 477 vs 67 ms wide) — Mosaic's lax.cond on a
+vector-reduced predicate costs far more than the skipped gather+FMA work
+per group-block. Retained as a documented negative result; the dispatcher
+never selects v8 automatically.
+
 Ref: mmcv MultiScaleDeformableAttention semantics (SURVEY.md §2.4).
 """
 

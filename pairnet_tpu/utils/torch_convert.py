@@ -560,6 +560,14 @@ def convert_motif_head(sd: Mapping, prefix: str = "relation_head.") -> dict:
     if g("freq_bias.obj_baseline.weight") in sd:
         p["freq_bias/pred_baseline"] = _t(sd[g("freq_bias.obj_baseline.weight")])
 
+    _convert_extractors(p, stats, sd, prefix)
+    return {"params": unflatten(p), "batch_stats": unflatten(stats)}
+
+
+def _convert_extractors(p: dict, stats: dict, sd: Mapping, prefix: str):
+    """Shared RoI/union extractor mapping (ref: roi_extractors/
+    visual_spatial.py:92-168 visual_bbox_head FCs + spatial_conv)."""
+    g = lambda k: f"{prefix}{k}"
     for ours, theirs in (
         ("bbox_roi_extractor", "bbox_roi_extractor"),
         ("relation_roi_extractor", "relation_roi_extractor"),
@@ -580,6 +588,70 @@ def convert_motif_head(sd: Mapping, prefix: str = "relation_head.") -> dict:
             _norm(p, f"{ours}/spatial/bn2", sd, f"{spc}.2.bn")
             stats[f"{ours}/spatial/bn2/mean"] = _t(sd[f"{spc}.2.bn.running_mean"])
             stats[f"{ours}/spatial/bn2/var"] = _t(sd[f"{spc}.2.bn.running_var"])
+
+
+def _torch_gru(p: dict, prefix_out: str, sd: Mapping, prefix_in: str):
+    """torch nn.GRUCell -> flax GRUCell: gate chunks (r, z, n); flax carries
+    the summed input+hidden bias on ir/iz (hr/hz have none) and keeps the
+    hidden-side n bias separate on hn (it is gated by r)."""
+    w_ih = _t(sd[f"{prefix_in}.weight_ih"])
+    w_hh = _t(sd[f"{prefix_in}.weight_hh"])
+    b_ih = _t(sd[f"{prefix_in}.bias_ih"])
+    b_hh = _t(sd[f"{prefix_in}.bias_hh"])
+    H = w_hh.shape[1]
+    for gidx, name in enumerate("rzn"):
+        p[f"{prefix_out}/i{name}/kernel"] = w_ih[gidx * H : (gidx + 1) * H].T
+        p[f"{prefix_out}/h{name}/kernel"] = w_hh[gidx * H : (gidx + 1) * H].T
+    p[f"{prefix_out}/ir/bias"] = b_ih[0:H] + b_hh[0:H]
+    p[f"{prefix_out}/iz/bias"] = b_ih[H : 2 * H] + b_hh[H : 2 * H]
+    p[f"{prefix_out}/in/bias"] = b_ih[2 * H : 3 * H]
+    p[f"{prefix_out}/hn/bias"] = b_hh[2 * H : 3 * H]
+
+
+def convert_imp_head(sd: Mapping, prefix: str = "relation_head.") -> dict:
+    """Reference IMPHead (IMPContext GRU message passing + extractors) ->
+    our IMPHead variables (ref: approaches/imp.py:17-170, imp_head.py)."""
+    p: dict = {}
+    stats: dict = {}
+    g = lambda k: f"{prefix}{k}"
+    ctx = "context_layer"
+    for name in ("obj_unary", "edge_unary", "obj_fc", "rel_fc"):
+        _linear(p, f"{ctx}/{name}", sd, g(f"context_layer.{name}"))
+    for name in ("sub_vert_w_fc", "obj_vert_w_fc", "out_edge_w_fc", "in_edge_w_fc"):
+        _linear(p, f"{ctx}/{name}", sd, g(f"context_layer.{name}.0"))
+    _torch_gru(p, f"{ctx}/node_gru", sd, g("context_layer.node_gru"))
+    _torch_gru(p, f"{ctx}/edge_gru", sd, g("context_layer.edge_gru"))
+    _convert_extractors(p, stats, sd, prefix)
+    return {"params": unflatten(p), "batch_stats": unflatten(stats)}
+
+
+def convert_gps_head(sd: Mapping, prefix: str = "relation_head.") -> dict:
+    """Reference GPSHead (DirectionAwareMessagePassing + relation_infer) ->
+    our GPSHead variables (ref: approaches/dmp.py:23-170, gps_head.py:20-65)."""
+    p: dict = {}
+    stats: dict = {}
+    g = lambda k: f"{prefix}{k}"
+    ctx = "context_layer"
+    p[f"{ctx}/obj_embed"] = _t(sd[g("context_layer.obj_embed.weight")])
+    _linear(p, f"{ctx}/pos_fc1", sd, g("context_layer.pos_embed.0"))
+    _norm(p, f"{ctx}/pos_bn", sd, g("context_layer.pos_embed.1"))
+    stats[f"{ctx}/pos_bn/mean"] = _t(sd[g("context_layer.pos_embed.1.running_mean")])
+    stats[f"{ctx}/pos_bn/var"] = _t(sd[g("context_layer.pos_embed.1.running_var")])
+    _linear(p, f"{ctx}/pos_fc2", sd, g("context_layer.pos_embed.2"))
+    _linear(p, f"{ctx}/project_input", sd, g("context_layer.project_input.0"))
+    for name in ("ws", "wo", "wu", "w", "out_obj"):
+        _linear(p, f"{ctx}/{name}", sd, g(f"context_layer.{name}"))
+    _linear(p, f"{ctx}/W_t3", sd, g("context_layer.W_t3.0"))
+    _linear(p, f"{ctx}/t1", sd, g("context_layer.trans.0"))
+    _norm(p, f"{ctx}/t_ln", sd, g("context_layer.trans.1"))
+    _linear(p, f"{ctx}/t2", sd, g("context_layer.trans.3"))
+    for name in ("w_proj1", "w_proj2", "w_proj3", "out_rel"):
+        _linear(p, name, sd, g(name))
+    if g("wp.weight") in sd:
+        _linear(p, "wp", sd, g("wp"))
+    if g("freq_bias.obj_baseline.weight") in sd:
+        p["freq_bias/pred_baseline"] = _t(sd[g("freq_bias.obj_baseline.weight")])
+    _convert_extractors(p, stats, sd, prefix)
     return {"params": unflatten(p), "batch_stats": unflatten(stats)}
 
 
