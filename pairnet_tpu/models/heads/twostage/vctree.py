@@ -1,20 +1,27 @@
-"""VCTree context and head.
+"""VCTree context and head (reference-exact binary TreeLSTM).
 
 Behavioral counterpart of pairnet/models/relation_heads/vctree_head.py +
-approaches/vctree.py (config configs/vctree/*): a learned pairwise
-relatedness score builds a maximum spanning tree over the objects; a
-bidirectional TreeLSTM encodes object and edge contexts along the tree; the
-score matrix is additionally trained with a binary auxiliary loss against
-the GT relation pairs (ref: vctree_head.py:120-170).
+approaches/{vctree.py, treelstm_util.py, vctree_util.py}
+(config configs/vctree/*):
 
-TPU-first deviations (documented):
-* the reference converts the spanning tree to a binary tree
-  (left-child/right-sibling) and runs a binary TreeLSTM
-  (approaches/vctree.py:23-103); here a ChildSum TreeLSTM runs directly on
-  the multi-way tree via masked level scans (same information flow,
-  fixed shapes),
-* the MST is built with Prim's algorithm in a fori_loop (the reference
-  builds it host-side with python recursion, vctree_util.py).
+* relatedness scores = sigmoid(vision_prior([sub*obj, sub, obj])) over a
+  512-d score stack fed by DETACHED reduced roi/emb + box/overlap embeds
+  (ref: vctree.py:380-425 vctree_score_net, forward:320-338),
+* a greedy max-score tree (root = argmax row-mean; iteratively attach the
+  best (selected, remaining) edge, ref: vctree_util.py:15-100 gen_tree)
+  converted to a BINARY left-child/right-sibling tree
+  (ref: vctree_util.py:103-135),
+* bidirectional binary TreeLSTMs: leaves-to-root cell with separate
+  left/right hidden projections + highway (ioffux/ioffuh_left/ioffuh_right/
+  px, gates i,o,f_l,f_r,u,r), root-to-leaves cell (iofux/iofuh/px, gates
+  i,o,f,u,r) (ref: treelstm_util.py:99-360),
+* a root-to-leaves DecoderTreeLSTM that passes predicted-label embeddings
+  down the binary tree (ref: vctree.py:23-103, treelstm_util.py:382-405),
+* MOTIFS-style post decode (post_emb/post_cat/rel_compress/up_dim)
+  (ref: vctree_head.py:24-42) + auxiliary binary CE on the score logits.
+
+The recursive host-side tree walks of the reference become fixed-shape
+masked level sweeps over parent/child pointer arrays (TPU-first design).
 """
 
 from __future__ import annotations
@@ -54,39 +61,65 @@ def overlap_info(boxes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def prim_mst(scores: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Maximum spanning tree via Prim. scores (N, N) symmetricized.
+def gen_vctree_binary(scores: jnp.ndarray, valid: jnp.ndarray):
+    """Greedy tree + left-child/right-sibling binarization, fixed shape.
 
-    Returns parent (N,) int32; the root (max total score among valid) has
-    parent -1; invalid nodes have parent -1.
+    scores (N, N) relatedness (higher = more related); returns
+    (bi_left, bi_right, bi_parent) int32 (N,), -1 = none. Matches the
+    reference exactly: root = argmax of row-mean over valid columns; each
+    step attaches the (selected, remaining) pair with max DIRECTED score
+    scores[sel, rem]; children keep insertion order, so the first child
+    becomes the binary left child and later children chain as right
+    siblings (ref: vctree_util.py:15-135).
     """
     N = scores.shape[0]
-    sym = (scores + scores.T) / 2.0
     neg = -jnp.inf
-    sym = jnp.where(valid[:, None] & valid[None, :], sym, neg)
-    root = jnp.argmax(jnp.where(valid, jnp.where(valid[None, :], sym, 0).sum(1), neg))
+    nvalid = jnp.maximum(jnp.sum(valid), 1)
+    node_scores = jnp.where(
+        valid, jnp.where(valid[None, :], scores, 0.0).sum(1), neg
+    )
+    # reference divides by the true N (mean over the unpadded row)
+    node_scores = jnp.where(valid, node_scores / nvalid, neg)
+    root = jnp.argmax(node_scores).astype(jnp.int32)
 
-    in_tree = jnp.zeros((N,), bool).at[root].set(True)
-    parent = jnp.full((N,), -1, jnp.int32)
+    selected = jnp.zeros((N,), bool).at[root].set(True)
+    bi_left = jnp.full((N,), -1, jnp.int32)
+    bi_right = jnp.full((N,), -1, jnp.int32)
+    bi_parent = jnp.full((N,), -1, jnp.int32)
+    last_child = jnp.full((N,), -1, jnp.int32)
 
-    def body(_, state):
-        in_tree, parent = state
-        # best edge from tree to non-tree
-        cand = jnp.where(in_tree[:, None] & ~in_tree[None, :] & valid[None, :], sym, neg)
+    def body(_, st):
+        selected, bi_left, bi_right, bi_parent, last_child = st
+        cand = jnp.where(
+            selected[:, None] & ~selected[None, :] & valid[None, :], scores, neg
+        )
         flat = jnp.argmax(cand)
-        i, j = flat // N, flat % N
+        i = (flat // N).astype(jnp.int32)
+        j = (flat % N).astype(jnp.int32)
         ok = cand.reshape(-1)[flat] > neg
-        parent = jnp.where(ok, parent.at[j].set(i.astype(jnp.int32)), parent)
-        in_tree = jnp.where(ok, in_tree.at[j].set(True), in_tree)
-        return in_tree, parent
+        has_child = last_child[i] >= 0
+        prev = jnp.clip(last_child[i], 0, N - 1)
+        bi_left = jnp.where(
+            ok & ~has_child, bi_left.at[i].set(j), bi_left
+        )
+        bi_right = jnp.where(
+            ok & has_child, bi_right.at[prev].set(j), bi_right
+        )
+        bi_parent = jnp.where(
+            ok, bi_parent.at[j].set(jnp.where(has_child, prev, i)), bi_parent
+        )
+        last_child = jnp.where(ok, last_child.at[i].set(j), last_child)
+        selected = jnp.where(ok, selected.at[j].set(True), selected)
+        return selected, bi_left, bi_right, bi_parent, last_child
 
-    _, parent = jax.lax.fori_loop(0, N - 1, body, (in_tree, parent))
-    return parent
+    _, bi_left, bi_right, bi_parent, _ = jax.lax.fori_loop(
+        0, N - 1, body, (selected, bi_left, bi_right, bi_parent, last_child)
+    )
+    return bi_left, bi_right, bi_parent
 
 
 def tree_depths(parent: jnp.ndarray) -> jnp.ndarray:
-    """Depth per node from parent pointers: walk up one step per iteration
-    (N iterations bound the longest path; N is small here)."""
+    """Depth per node from parent pointers (N sweeps bound the path)."""
     N = parent.shape[0]
 
     def body(_, st):
@@ -100,68 +133,156 @@ def tree_depths(parent: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
-class ChildSumTreeCell(nn.Module):
-    """ChildSum TreeLSTM cell used for both bottom-up and top-down passes."""
+class BiFwdTreeCell(nn.Module):
+    """Leaves-to-root cell (ref: treelstm_util.py:99-162 BiTreeLSTM_Foreward):
+    gates (i, o, f_l, f_r, u, r) from the input + separate left/right child
+    hidden projections; highway mix with px."""
 
     hidden: int
 
     @nn.compact
-    def __call__(self, x, h_sum, c_sum):
-        z = nn.Dense(4 * self.hidden, name="wx")(x) + nn.Dense(
-            4 * self.hidden, use_bias=False, name="wh"
-        )(h_sum)
-        i, f, o, g = jnp.split(z, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c_sum + jax.nn.sigmoid(i) * jnp.tanh(g)
+    def __call__(self, x, lh, lc, rh, rc):
+        H = self.hidden
+        z = (
+            nn.Dense(6 * H, name="ioffux")(x)
+            + nn.Dense(6 * H, name="ioffuh_left")(lh)
+            + nn.Dense(6 * H, name="ioffuh_right")(rh)
+        )
+        i, o, f_l, f_r, u, r = jnp.split(z, 6, axis=-1)
+        c = (
+            jax.nn.sigmoid(i) * jnp.tanh(u)
+            + jax.nn.sigmoid(f_l) * lc
+            + jax.nn.sigmoid(f_r) * rc
+        )
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        r = jax.nn.sigmoid(r)
+        h = r * h + (1.0 - r) * nn.Dense(H, name="px")(x)
         return h, c
 
 
-class BiTreeLSTM(nn.Module):
-    """Bottom-up + top-down TreeLSTM over parent pointers (masked levels)."""
+class BiBwdTreeCell(nn.Module):
+    """Root-to-leaves cell (ref: treelstm_util.py:258-312 BiTreeLSTM_Backward):
+    gates (i, o, f, u, r) from the input + binary-parent hidden."""
 
     hidden: int
 
     @nn.compact
-    def __call__(self, x, parent, valid):  # x (N, D)
+    def __call__(self, x, ph, pc):
+        H = self.hidden
+        z = nn.Dense(5 * H, name="iofux")(x) + nn.Dense(5 * H, name="iofuh")(ph)
+        i, o, f, u, r = jnp.split(z, 5, axis=-1)
+        c = jax.nn.sigmoid(i) * jnp.tanh(u) + jax.nn.sigmoid(f) * pc
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        r = jax.nn.sigmoid(r)
+        h = r * h + (1.0 - r) * nn.Dense(H, name="px")(x)
+        return h, c
+
+
+def _fwd_sweep(cell, x, bi_left, bi_right, bi_parent, valid):
+    """Bottom-up masked level sweep over the binary tree -> (N, H)."""
+    N = x.shape[0]
+    H = cell.hidden
+    depth = tree_depths(bi_parent)
+    h = jnp.zeros((N, H))
+    c = jnp.zeros((N, H))
+    lsafe = jnp.clip(bi_left, 0, N - 1)
+    rsafe = jnp.clip(bi_right, 0, N - 1)
+    for lvl in range(N - 1, -1, -1):
+        sel = (depth == lvl) & valid
+        lh = jnp.where((bi_left >= 0)[:, None], h[lsafe], 0.0)
+        lc = jnp.where((bi_left >= 0)[:, None], c[lsafe], 0.0)
+        rh = jnp.where((bi_right >= 0)[:, None], h[rsafe], 0.0)
+        rc = jnp.where((bi_right >= 0)[:, None], c[rsafe], 0.0)
+        h_new, c_new = cell(x, lh, lc, rh, rc)
+        h = jnp.where(sel[:, None], h_new, h)
+        c = jnp.where(sel[:, None], c_new, c)
+    return h
+
+
+def _bwd_sweep(cell, x, bi_parent, valid):
+    """Top-down masked level sweep over the binary tree -> (N, H)."""
+    N = x.shape[0]
+    H = cell.hidden
+    depth = tree_depths(bi_parent)
+    h = jnp.zeros((N, H))
+    c = jnp.zeros((N, H))
+    psafe = jnp.clip(bi_parent, 0, N - 1)
+    for lvl in range(N):
+        sel = (depth == lvl) & valid
+        ph = jnp.where((bi_parent >= 0)[:, None], h[psafe], 0.0)
+        pc = jnp.where((bi_parent >= 0)[:, None], c[psafe], 0.0)
+        h_new, c_new = cell(x, ph, pc)
+        h = jnp.where(sel[:, None], h_new, h)
+        c = jnp.where(sel[:, None], c_new, c)
+    return h
+
+
+class BiTreeLSTM(nn.Module):
+    """BidirectionalTreeLSTM: forward + backward halves, each hidden/2
+    (ref: treelstm_util.py:36-58)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, bi_left, bi_right, bi_parent, valid):
+        half = self.hidden // 2
+        fwd = BiFwdTreeCell(half, name="fwd")
+        bwd = BiBwdTreeCell(half, name="bwd")
+        h_f = _fwd_sweep(fwd, x, bi_left, bi_right, bi_parent, valid)
+        h_b = _bwd_sweep(bwd, x, bi_parent, valid)
+        return jnp.concatenate([h_f, h_b], axis=-1)
+
+
+class DecoderTreeCell(nn.Module):
+    """Backward decoder step: input = [feat, parent label embedding]; the
+    committed label (eval: argmax over foreground) embeds as label + 1 and
+    passes to binary children (ref: vctree.py:23-103 DecoderTreeLSTM +
+    treelstm_util.py:382-405 pass_embed_postprocess)."""
+
+    num_classes: int
+    embed_dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x, bi_parent, valid):
         N = x.shape[0]
-        depth = tree_depths(parent)
-        max_d = N  # static bound
-        up_cell = ChildSumTreeCell(self.hidden, name="up")
-        down_cell = ChildSumTreeCell(self.hidden, name="down")
-
-        # bottom-up: process deepest level first
-        h = jnp.zeros((N, self.hidden))
-        c = jnp.zeros((N, self.hidden))
-        safe_parent = jnp.clip(parent, 0, N - 1)
-        for lvl in range(max_d - 1, -1, -1):
+        C = self.num_classes
+        embed = self.param(
+            "obj_embed", nn.initializers.normal(1.0), (C + 1, self.embed_dim)
+        )
+        cell = BiBwdTreeCell(self.hidden_dim, name="decoderLSTM")
+        out = nn.Dense(C, name="out")
+        depth = tree_depths(bi_parent)
+        psafe = jnp.clip(bi_parent, 0, N - 1)
+        h = jnp.zeros((N, self.hidden_dim))
+        c = jnp.zeros((N, self.hidden_dim))
+        lbl = jnp.zeros((N,), jnp.int32)  # committed label per node
+        dists = jnp.zeros((N, C))
+        for lvl in range(N):
             sel = (depth == lvl) & valid
-            # children sums: scatter h/c into parents
-            h_sum = jnp.zeros_like(h).at[safe_parent].add(
-                jnp.where((parent >= 0)[:, None], h, 0.0)
+            has_par = bi_parent >= 0
+            # parent embedding: root uses embed row 0; others embed(lbl + 1)
+            par_lbl = lbl[psafe]
+            par_embed = jnp.where(
+                has_par[:, None],
+                embed[jnp.clip(par_lbl + 1, 0, C)],
+                embed[0][None],
             )
-            c_sum = jnp.zeros_like(c).at[safe_parent].add(
-                jnp.where((parent >= 0)[:, None], c, 0.0)
-            )
-            h_new, c_new = up_cell(x, h_sum, c_sum)
+            inp = jnp.concatenate([x, par_embed], axis=-1)
+            ph = jnp.where(has_par[:, None], h[psafe], 0.0)
+            pc = jnp.where(has_par[:, None], c[psafe], 0.0)
+            h_new, c_new = cell(inp, ph, pc)
+            dist = out(h_new)
+            pred = jnp.argmax(dist[:, 1:], axis=-1).astype(jnp.int32) + 1
             h = jnp.where(sel[:, None], h_new, h)
             c = jnp.where(sel[:, None], c_new, c)
-        h_up = h
-
-        # top-down: root first
-        h = jnp.zeros((N, self.hidden))
-        c = jnp.zeros((N, self.hidden))
-        for lvl in range(0, max_d):
-            sel = (depth == lvl) & valid
-            h_par = jnp.where((parent >= 0)[:, None], h[safe_parent], 0.0)
-            c_par = jnp.where((parent >= 0)[:, None], c[safe_parent], 0.0)
-            h_new, c_new = down_cell(x, h_par, c_par)
-            h = jnp.where(sel[:, None], h_new, h)
-            c = jnp.where(sel[:, None], c_new, c)
-        return jnp.concatenate([h_up, h], axis=-1)
+            lbl = jnp.where(sel, pred, lbl)
+            dists = jnp.where(sel[:, None], dist, dists)
+        return dists, lbl
 
 
 class VCTreeContext(nn.Module):
-    """Relatedness scores -> MST -> BiTreeLSTM object/edge contexts."""
+    """Relatedness scores -> binary VCTree -> BiTreeLSTM contexts."""
 
     num_classes: int
     mode: str = "predcls"
@@ -172,6 +293,7 @@ class VCTreeContext(nn.Module):
     @nn.compact
     def __call__(self, roi_feats, boxes, valid, img_hw, labels=None, dists=None):
         C = self.num_classes
+        sg = jax.lax.stop_gradient
         obj_embed1 = self.param(
             "obj_embed1", nn.initializers.normal(1.0), (C, self.embed_dim)
         )
@@ -180,66 +302,89 @@ class VCTreeContext(nn.Module):
         )
         if self.mode == "predcls" and labels is not None:
             emb = obj_embed1[jnp.clip(labels, 0, C - 1)]
+            obj_dists_in = jax.nn.one_hot(jnp.clip(labels, 0, C - 1), C)
         else:
-            emb = jax.lax.stop_gradient(dists) @ obj_embed1
+            obj_dists_in = sg(dists)
+            emb = obj_dists_in @ obj_embed1
 
-        # relatedness scores (all projections are pointwise -> batched)
-        pos = jax.vmap(encode_box_info)(boxes, img_hw)
-        box_e = nn.relu(nn.Dense(128, name="box_embed")(pos))
+        pos9 = jax.vmap(encode_box_info)(boxes, img_hw)
+        pos = nn.relu(
+            nn.Dense(128, name="pos_fc2")(
+                nn.BatchNorm(use_running_average=True, name="pos_bn")(
+                    nn.Dense(32, name="pos_fc1")(pos9)
+                )
+            )
+        )
+        # score stack (ref forward:320-338, inputs DETACHED)
+        box_e = nn.relu(
+            nn.BatchNorm(use_running_average=True, name="box_bn")(
+                nn.Dense(128, name="box_embed")(pos9)
+            )
+        )
         ov = jax.vmap(overlap_info)(boxes, valid)
-        ov_e = nn.relu(nn.Dense(128, name="overlap_embed")(ov))
-        o_red = nn.Dense(128, name="obj_reduce")(roi_feats)
-        e_red = nn.Dense(128, name="emb_reduce")(emb)
+        ov_e = nn.relu(
+            nn.BatchNorm(use_running_average=True, name="overlap_bn")(
+                nn.Dense(128, name="overlap_embed")(ov)
+            )
+        )
+        o_red = nn.Dense(128, name="obj_reduce")(sg(roi_feats))
+        e_red = nn.Dense(128, name="emb_reduce")(sg(emb))
         pre = nn.relu(
             nn.Dense(self.hidden_dim, name="score_pre")(
                 jnp.concatenate([o_red, e_red, box_e, ov_e], -1)
             )
         )
-        sub = nn.Dense(self.hidden_dim, name="score_sub")(pre)
-        obj = nn.Dense(self.hidden_dim, name="score_obj")(pre)
-        scores = jnp.einsum(
-            "bnd,bmd->bnm", sub, obj, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(float(self.hidden_dim))
-        B, N, _ = scores.shape
+        sub = nn.relu(nn.Dense(self.hidden_dim, name="score_sub")(pre))
+        obj = nn.relu(nn.Dense(self.hidden_dim, name="score_obj")(pre))
+        B, N, _ = sub.shape
         prior_in = jnp.concatenate(
             [
+                sub[:, :, None] * obj[:, None, :],
                 jnp.broadcast_to(sub[:, :, None], (B, N, N, self.hidden_dim)),
                 jnp.broadcast_to(obj[:, None, :], (B, N, N, self.hidden_dim)),
-                sub[:, :, None] * obj[:, None, :],
             ],
             -1,
         )
-        prior = nn.Dense(1, name="vision_prior")(prior_in)[..., 0]
-        rel_scores = jax.nn.sigmoid(scores) * jax.nn.sigmoid(prior)
-        parent = jax.vmap(prim_mst)(jax.lax.stop_gradient(rel_scores), valid)
+        bi_logits = nn.Dense(1, name="vision_prior")(prior_in)[..., 0]
+        rel_scores = jax.nn.sigmoid(bi_logits)  # (B, N, N)
 
-        pos128 = nn.relu(nn.Dense(128, name="pos_embed")(pos))
-        obj_pre = jnp.concatenate([roi_feats, emb, pos128], -1)
+        trees = jax.vmap(gen_vctree_binary)(sg(rel_scores), valid)
+        bi_left, bi_right, bi_parent = trees
 
+        obj_pre = jnp.concatenate([roi_feats, emb, pos], -1)
         vtree = nn.vmap(
             BiTreeLSTM,
-            in_axes=(0, 0, 0),
+            in_axes=(0, 0, 0, 0, 0),
             out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False},
         )
-        enc = vtree(self.hidden_dim, name="obj_ctx_rnn")(obj_pre, parent, valid)
-        enc = nn.Dense(self.hidden_dim, name="lin_obj_h")(enc)
+        enc = vtree(self.hidden_dim, name="obj_ctx_rnn")(
+            obj_pre, bi_left, bi_right, bi_parent, valid
+        )
 
         if self.mode == "predcls" and labels is not None:
             obj_preds = labels
             obj_dists = jax.nn.one_hot(jnp.clip(labels, 0, C - 1), C)
         else:
-            obj_dists = nn.Dense(C, name="out_obj")(
-                jnp.concatenate([obj_pre, enc], -1)
+            dec_in = jnp.concatenate([obj_pre, enc], -1)
+            vdec = nn.vmap(
+                DecoderTreeCell,
+                in_axes=(0, 0, 0),
+                out_axes=0,
+                variable_axes={"params": None},
+                split_rngs={"params": False},
             )
-            obj_preds = obj_dists[..., 1:].argmax(-1).astype(jnp.int32) + 1
+            obj_dists, obj_preds = vdec(
+                C, self.embed_dim, self.hidden_dim, name="decoder_rnn"
+            )(dec_in, bi_parent, valid)
 
         emb2 = obj_embed2[jnp.clip(obj_preds, 0, C - 1)]
         edge_in = jnp.concatenate([emb2, roi_feats, enc], -1)
-        edge = vtree(self.hidden_dim, name="edge_ctx_rnn")(edge_in, parent, valid)
-        edge_ctx = nn.Dense(self.hidden_dim, name="lin_edge_h")(edge)
-        return obj_dists, obj_preds, edge_ctx, rel_scores
+        edge_ctx = vtree(self.hidden_dim, name="edge_ctx_rnn")(
+            edge_in, bi_left, bi_right, bi_parent, valid
+        )
+        return obj_dists, obj_preds, edge_ctx, bi_logits
 
 
 @HEADS.register()
@@ -289,7 +434,7 @@ class VCTreeHead(TwoStageRelationHead):
             "refine_scores": obj_dists,
             "obj_preds": obj_preds,
             "rel_scores": rel_scores,
-            "relatedness": rel_mat,  # for the auxiliary binary loss
+            "relatedness": jax.nn.sigmoid(rel_mat),  # for the aux binary loss
         }
 
 

@@ -775,6 +775,64 @@ def convert_crosshead_bbox_checkpoint(sd: Mapping) -> dict:
     }
 
 
+def _btree_lstm(p: dict, prefix_out: str, sd: Mapping, prefix_in: str):
+    """mmcv MultiLayer_BTreeLSTM layer 0 -> our BiTreeLSTM {fwd, bwd}
+    (ref: treelstm_util.py:17-98 module nesting)."""
+    fw = f"{prefix_in}.multi_layer_lstm.0.treeLSTM_foreward.treeLSTM"
+    bw = f"{prefix_in}.multi_layer_lstm.0.treeLSTM_backward.treeLSTM"
+    for n in ("px", "ioffux", "ioffuh_left", "ioffuh_right"):
+        _linear(p, f"{prefix_out}/fwd/{n}", sd, f"{fw}.{n}")
+    for n in ("px", "iofux", "iofuh"):
+        _linear(p, f"{prefix_out}/bwd/{n}", sd, f"{bw}.{n}")
+
+
+def convert_vctree_head(sd: Mapping, prefix: str = "relation_head.") -> dict:
+    """Reference VCTreeHead (VCTreeLSTMContext binary TreeLSTMs + score net
+    + decoder + post decode) -> our VCTreeHead variables
+    (ref: approaches/vctree.py:105-230, treelstm_util.py:99-360,
+    vctree_head.py:24-42)."""
+    p: dict = {}
+    stats: dict = {}
+    g = lambda k: f"{prefix}{k}"
+    ctx = "context_layer"
+    p[f"{ctx}/obj_embed1"] = _t(sd[g("context_layer.obj_embed1.weight")])
+    p[f"{ctx}/obj_embed2"] = _t(sd[g("context_layer.obj_embed2.weight")])
+    _linear(p, f"{ctx}/pos_fc1", sd, g("context_layer.pos_embed.0"))
+    _norm(p, f"{ctx}/pos_bn", sd, g("context_layer.pos_embed.1"))
+    stats[f"{ctx}/pos_bn/mean"] = _t(sd[g("context_layer.pos_embed.1.running_mean")])
+    stats[f"{ctx}/pos_bn/var"] = _t(sd[g("context_layer.pos_embed.1.running_var")])
+    _linear(p, f"{ctx}/pos_fc2", sd, g("context_layer.pos_embed.2"))
+    for ours, theirs in (("box_embed", "box_embed"), ("overlap_embed", "overlap_embed")):
+        _linear(p, f"{ctx}/{ours}", sd, g(f"context_layer.{theirs}.0"))
+        bn = "box_bn" if ours == "box_embed" else "overlap_bn"
+        _norm(p, f"{ctx}/{bn}", sd, g(f"context_layer.{theirs}.1"))
+        stats[f"{ctx}/{bn}/mean"] = _t(
+            sd[g(f"context_layer.{theirs}.1.running_mean")]
+        )
+        stats[f"{ctx}/{bn}/var"] = _t(
+            sd[g(f"context_layer.{theirs}.1.running_var")]
+        )
+    for n in ("obj_reduce", "emb_reduce", "score_pre", "score_sub",
+              "score_obj", "vision_prior"):
+        _linear(p, f"{ctx}/{n}", sd, g(f"context_layer.{n}"))
+    _btree_lstm(p, f"{ctx}/obj_ctx_rnn", sd, g("context_layer.obj_ctx_rnn"))
+    _btree_lstm(p, f"{ctx}/edge_ctx_rnn", sd, g("context_layer.edge_ctx_rnn"))
+    dec = g("context_layer.decoder_rnn")
+    p[f"{ctx}/decoder_rnn/obj_embed"] = _t(sd[f"{dec}.obj_embed.weight"])
+    _linear(p, f"{ctx}/decoder_rnn/out", sd, f"{dec}.out")
+    for n in ("px", "iofux", "iofuh"):
+        _linear(p, f"{ctx}/decoder_rnn/decoderLSTM/{n}", sd, f"{dec}.decoderLSTM.{n}")
+    _linear(p, "post_emb", sd, g("post_emb"))
+    _linear(p, "post_cat", sd, g("post_cat"))
+    _linear(p, "rel_compress", sd, g("rel_compress"))
+    if g("up_dim.weight") in sd:
+        _linear(p, "up_dim", sd, g("up_dim"))
+    if g("freq_bias.obj_baseline.weight") in sd:
+        p["freq_bias/pred_baseline"] = _t(sd[g("freq_bias.obj_baseline.weight")])
+    _convert_extractors(p, stats, sd, prefix)
+    return {"params": unflatten(p), "batch_stats": unflatten(stats)}
+
+
 def convert_panoptic_fpn(sd: Mapping) -> dict:
     """mmdet PanopticFPN (panoptic_fpn_r50_fpn_1x_coco) -> our PanopticFPN.
 
