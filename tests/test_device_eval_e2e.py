@@ -1,0 +1,73 @@
+"""End-to-end engine parity: device recall engine vs the numpy oracle.
+
+VERDICT r2 #4/#5: the scored sgdet path must run on device (fusion +
+triplet ranking + canvas mask upsampling + jit recall matching) with the
+numpy engine kept as the oracle. This runs BOTH engines over the synthetic
+PSG fixture with the committed overfit checkpoint (work_dirs/tiny_ab2, the
+eval-quality fixture) and requires matching R@K. Tolerance covers the only
+implementation delta — host-PIL vs device bilinear mask upsampling at
+content boundaries.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(REPO, "work_dirs", "tiny_ab2")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(CKPT, "ckpts")),
+    reason="tiny_ab2 fixture checkpoint not present",
+)
+def test_device_engine_matches_numpy_oracle():
+    import orbax.checkpoint as ocp
+
+    from pairnet_tpu.config import load_config
+    from pairnet_tpu.evaluation.runner import (
+        evaluate_model,
+        evaluate_model_device,
+    )
+    from pairnet_tpu.train.builder import (
+        build_dataset,
+        build_detector,
+        build_pipeline_cfg,
+    )
+
+    cfg = load_config(os.path.join(REPO, "configs", "pairnet", "tiny_synthetic.py"))
+    model = build_detector(cfg)
+    pipe_cfg = build_pipeline_cfg(cfg, train=False)
+    dataset = build_dataset(cfg, split="train")
+
+    mgr = ocp.CheckpointManager(os.path.abspath(os.path.join(CKPT, "ckpts")))
+    raw = mgr.restore(mgr.latest_step(), args=ocp.args.StandardRestore())
+    variables = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+
+    fwd = jax.jit(lambda v, img: model.apply(v, img))
+    apply_fn = lambda img: fwd(variables, jnp.asarray(img))
+    kwargs = dict(
+        batch_size=1,
+        mode="sgdet",
+        num_predicates=cfg.num_relation_classes,
+        num_things=cfg.evaluation.num_things,
+        iou_thr=cfg.evaluation.get("iou_thr", 0.5),
+    )
+    ref = evaluate_model(apply_fn, dataset, pipe_cfg, **kwargs)
+    dev = evaluate_model_device(apply_fn, dataset, pipe_cfg, **kwargs)
+
+    assert dev["sgdet_recall_R@20"] > 0.5  # the fixture overfits to ~0.9
+    for k in (20, 50, 100):
+        np.testing.assert_allclose(
+            dev[f"sgdet_recall_R@{k}"],
+            ref[f"sgdet_recall_R@{k}"],
+            atol=0.051,
+        )
+        np.testing.assert_allclose(
+            dev[f"sgdet_mean_recall_mR@{k}"],
+            ref[f"sgdet_mean_recall_mR@{k}"],
+            atol=0.051,
+        )

@@ -36,6 +36,14 @@ def parse_args():
         help="pickle per-image predictions here (for tools/vis_results.py)",
     )
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument(
+        "--eval-engine",
+        choices=["device", "numpy"],
+        default="device",
+        help="device: jit recall engine + on-device mask upsampling "
+        "(default for the flagship sgdet path); numpy: the host oracle "
+        "engine mirroring the reference sgg_metrics",
+    )
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -197,6 +205,26 @@ def main():
             dataset,
             pipe_cfg,
             results_out=args.save_results,
+            batch_size=args.batch_size,
+            mode=args.eval,
+            num_predicates=cfg.num_relation_classes,
+            num_things=cfg.evaluation.num_things,
+            iou_thr=cfg.evaluation.get("iou_thr", 0.5),
+        )
+    elif (
+        args.eval_engine == "device"
+        and args.eval == "sgdet"
+        and not args.save_results
+    ):
+        # fully on-device scored path (fusion + triplet ranking + canvas
+        # mask upsampling + jit recall matching); --eval-engine numpy keeps
+        # the host oracle (VERDICT r2 #4)
+        from pairnet_tpu.evaluation.runner import evaluate_model_device
+
+        metrics = evaluate_model_device(
+            apply_fn,
+            dataset,
+            pipe_cfg,
             batch_size=args.batch_size,
             mode=args.eval,
             num_predicates=cfg.num_relation_classes,
