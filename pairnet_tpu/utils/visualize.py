@@ -69,6 +69,92 @@ def render_triplets(
     return arr, lines
 
 
+def render_scene_graph(
+    labels: np.ndarray,  # (2K,) 1-based entity labels
+    rel_pairs: np.ndarray,  # (K, 2)
+    r_labels: np.ndarray,  # (K,) 1-based predicates
+    r_scores: np.ndarray,  # (K,)
+    class_names: list[str],
+    predicate_names: list[str],
+    topk: int = 10,
+    size: tuple[int, int] = (480, 480),
+) -> tuple[np.ndarray, str]:
+    """Graph-layout scene-graph panel + graphviz DOT export.
+
+    Counterpart of the reference's graphviz rendering (ref: tools/vis_tools/
+    viz.py:1-926): nodes = unique entities of the top-k triplets laid out on
+    a circle, directed labeled edges for predicates. Pure PIL (this image
+    has no graphviz); the DOT string reproduces the reference's exportable
+    graph for external tooling. Returns (panel (H, W, 3) uint8, dot text).
+    """
+    import math
+
+    from PIL import Image, ImageDraw
+
+    order = np.argsort(-np.asarray(r_scores))[:topk]
+    # unique nodes in first-appearance order
+    node_ids: list[int] = []
+    edges = []
+    for k in order:
+        s_i, o_i = (int(x) for x in rel_pairs[k])
+        for idx in (s_i, o_i):
+            if idx not in node_ids:
+                node_ids.append(idx)
+        edges.append((s_i, o_i, int(r_labels[k]), float(r_scores[k])))
+
+    W, H = size
+    img = Image.new("RGB", (W, H), (255, 255, 255))
+    draw = ImageDraw.Draw(img)
+    n = max(len(node_ids), 1)
+    cx, cy, r = W / 2, H / 2, min(W, H) / 2 - 60
+    pos = {}
+    for i, idx in enumerate(node_ids):
+        a = 2 * math.pi * i / n - math.pi / 2
+        pos[idx] = (cx + r * math.cos(a), cy + r * math.sin(a))
+
+    cmap = _colormap(max(n, 1), seed=5)
+    dot = ["digraph scene_graph {"]
+    for s_i, o_i, p, score in edges:
+        x1, y1 = pos[s_i]
+        x2, y2 = pos[o_i]
+        # shorten so arrows stop at the node circles
+        dx, dy = x2 - x1, y2 - y1
+        d = max((dx * dx + dy * dy) ** 0.5, 1e-6)
+        ux, uy = dx / d, dy / d
+        sx, sy = x1 + ux * 22, y1 + uy * 22
+        ex, ey = x2 - ux * 22, y2 - uy * 22
+        draw.line([(sx, sy), (ex, ey)], fill=(90, 90, 90), width=2)
+        # arrowhead
+        left = (ex - ux * 10 - uy * 5, ey - uy * 10 + ux * 5)
+        right = (ex - ux * 10 + uy * 5, ey - uy * 10 - ux * 5)
+        draw.polygon([(ex, ey), left, right], fill=(90, 90, 90))
+        p_name = predicate_names[p - 1]
+        mx, my = (sx + ex) / 2, (sy + ey) / 2
+        tw = draw.textlength(p_name)
+        draw.rectangle(
+            [mx - tw / 2 - 2, my - 7, mx + tw / 2 + 2, my + 7],
+            fill=(255, 255, 255),
+        )
+        draw.text((mx - tw / 2, my - 6), p_name, fill=(180, 40, 40))
+        dot.append(
+            f'  n{s_i} -> n{o_i} [label="{p_name}" weight={score:.3f}];'
+        )
+    for i, idx in enumerate(node_ids):
+        x, y = pos[idx]
+        name = class_names[int(labels[idx]) - 1]
+        color = tuple(int(c) for c in cmap[i])
+        draw.ellipse([x - 20, y - 20, x + 20, y + 20], outline=color, width=3)
+        tw = draw.textlength(name)
+        draw.rectangle(
+            [x - tw / 2 - 2, y + 22, x + tw / 2 + 2, y + 36],
+            fill=(255, 255, 255),
+        )
+        draw.text((x - tw / 2, y + 23), name, fill=(0, 0, 0))
+        dot.append(f'  n{idx} [label="{name}"];')
+    dot.append("}")
+    return np.asarray(img, np.uint8), "\n".join(dot)
+
+
 def save_visualization(path: str, image, pan_seg=None, **triplet_kwargs):
     from PIL import Image
 
@@ -79,6 +165,26 @@ def save_visualization(path: str, image, pan_seg=None, **triplet_kwargs):
     if triplet_kwargs:
         rendered, lines = render_triplets(panels[0], **triplet_kwargs)
         panels.append(rendered)
+        graph, dot = render_scene_graph(
+            triplet_kwargs["labels"],
+            triplet_kwargs["rel_pairs"],
+            triplet_kwargs["r_labels"],
+            triplet_kwargs["r_scores"],
+            triplet_kwargs["class_names"],
+            triplet_kwargs["predicate_names"],
+            topk=triplet_kwargs.get("topk", 10),
+            size=(panels[0].shape[0], panels[0].shape[0]),
+        )
+        if graph.shape[0] != panels[0].shape[0]:
+            graph = np.asarray(
+                Image.fromarray(graph).resize(
+                    (graph.shape[1], panels[0].shape[0])
+                ),
+                np.uint8,
+            )
+        panels.append(graph)
+        with open(path + ".dot", "w") as f:
+            f.write(dot)
     canvas = np.concatenate(panels, axis=1)
     Image.fromarray(canvas).save(path)
     if lines:
