@@ -21,6 +21,7 @@ from pairnet_tpu.config.registry import BACKBONES
 from pairnet_tpu.models.layers import FrozenBatchNorm
 
 _STAGE_BLOCKS = {
+    26: (1, 1, 1, 1),  # minimal bottleneck variant (tests / smoke configs)
     50: (3, 4, 6, 3),
     101: (3, 4, 23, 3),
     152: (3, 8, 36, 3),

@@ -167,6 +167,115 @@ class SemanticHead(nn.Module):
         return nn.Conv(self.num_stuff + 1, (1, 1), name="conv_logits")(acc)
 
 
+class PanopticSegments(NamedTuple):
+    """Per-segment outputs of the heuristic panoptic fusion (things AND
+    stuff), the two-stage relation head's detection contract."""
+
+    boxes: jnp.ndarray  # (B, M, 4) input-pixel xyxy
+    labels: jnp.ndarray  # (B, M) 1-based (1..T things, T+1..T+S stuff)
+    dists: jnp.ndarray  # (B, M, C+1)
+    valid: jnp.ndarray  # (B, M)
+    masks: jnp.ndarray  # (B, M, h4, w4) bool at the mask stride
+
+
+def heuristic_fusion_segments(
+    dets: "Detections",
+    det_masks: jnp.ndarray,  # (B, N, h4, w4) logits
+    sem: jnp.ndarray,  # (B, h4, w4, S+1) logits (channel 0 = things)
+    num_things: int,
+    num_stuff: int,
+    mask_stride: int = 4,
+    overlap_thr: float = 0.5,
+    stuff_area_limit: int = 4096,
+) -> PanopticSegments:
+    """mmdet HeuristicFusionHead -> per-segment boxes/labels, fixed shape.
+
+    Counterpart of the reference two-stage sgdet detection source
+    (ref: sg_panoptic_fpn.py:57-142 simple_test_sg_bboxes + mmdet
+    HeuristicFusionHead; test_cfg panoptic mask_overlap=0.5,
+    stuff_area_limit=4096 at configs/_base_/models/
+    panoptic_fpn_r50_fpn_psg.py:25-34): detections paste score-descending
+    onto a canvas (skipped when >overlap_thr of the mask is already
+    claimed), then stuff classes claim unpainted argmax regions above the
+    area limit. Output slots: N thing slots followed by ``num_stuff``
+    stuff slots.
+    """
+    B, N, h4, w4 = det_masks.shape
+    S = num_stuff
+    binm = (jax.nn.sigmoid(det_masks) > 0.5) & dets.valid[:, :, None, None]
+
+    def per_image(binm_i, scores, valid):
+        order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+        claimed = jnp.zeros((h4, w4), bool)
+        kept_masks = jnp.zeros((N, h4, w4), bool)
+        kept = jnp.zeros((N,), bool)
+
+        def body(k, st):
+            claimed, kept_masks, kept = st
+            i = order[k]
+            m = binm_i[i]
+            area = m.sum()
+            fresh = (m & ~claimed)
+            fresh_area = fresh.sum()
+            keep = (area > 0) & (
+                (area - fresh_area).astype(jnp.float32)
+                <= overlap_thr * area.astype(jnp.float32)
+            )
+            claimed = jnp.where(keep, claimed | fresh, claimed)
+            kept_masks = kept_masks.at[i].set(jnp.where(keep, fresh, False))
+            kept = kept.at[i].set(keep)
+            return claimed, kept_masks, kept
+
+        claimed, kept_masks, kept = jax.lax.fori_loop(
+            0, N, body, (claimed, kept_masks, kept)
+        )
+        return claimed, kept_masks, kept
+
+    claimed, thing_masks, thing_kept = jax.vmap(per_image)(
+        binm, dets.scores, dets.valid
+    )
+
+    # stuff: per-pixel argmax over the semantic logits; channel 0 = things
+    seg_cls = jnp.argmax(sem.astype(jnp.float32), -1)  # (B, h4, w4)
+    sids = jnp.arange(1, S + 1)
+    stuff_masks = (
+        (seg_cls[:, None] == sids[None, :, None, None])
+        & ~claimed[:, None]
+    )  # (B, S, h4, w4)
+    areas = stuff_masks.sum((-2, -1))
+    min_area = stuff_area_limit / (mask_stride * mask_stride)
+    stuff_kept = areas >= min_area
+
+    def boxes_from_masks(m):  # (M, h4, w4) bool -> (M, 4) pixel xyxy
+        ys = jnp.any(m, axis=2)
+        xs = jnp.any(m, axis=1)
+        yi = jnp.arange(h4)
+        xi = jnp.arange(w4)
+        y0 = jnp.min(jnp.where(ys, yi[None], h4), axis=1)
+        y1 = jnp.max(jnp.where(ys, yi[None] + 1, 0), axis=1)
+        x0 = jnp.min(jnp.where(xs, xi[None], w4), axis=1)
+        x1 = jnp.max(jnp.where(xs, xi[None] + 1, 0), axis=1)
+        return jnp.stack([x0, y0, x1, y1], -1).astype(jnp.float32) * mask_stride
+
+    masks = jnp.concatenate([thing_masks, stuff_masks], axis=1)
+    valid = jnp.concatenate([thing_kept & dets.valid, stuff_kept], axis=1)
+    boxes = jax.vmap(boxes_from_masks)(masks)
+    C1 = dets.dists.shape[-1]
+    stuff_labels = jnp.broadcast_to(num_things + sids[None], (B, S))
+    labels = jnp.concatenate(
+        [dets.labels, stuff_labels.astype(dets.labels.dtype)], axis=1
+    )
+    # stuff score = 1.0 one-hot dist (ref gives stuff unit confidence)
+    stuff_dists = jax.nn.one_hot(
+        jnp.clip(stuff_labels - 1, 0, C1 - 1), C1
+    )
+    dists = jnp.concatenate([dets.dists, stuff_dists], axis=1)
+    labels = jnp.where(valid, labels, 0)
+    return PanopticSegments(
+        boxes=boxes, labels=labels, dists=dists, valid=valid, masks=masks
+    )
+
+
 class Detections(NamedTuple):
     boxes: jnp.ndarray  # (B, N, 4)
     labels: jnp.ndarray  # (B, N) 1-based (0 invalid)

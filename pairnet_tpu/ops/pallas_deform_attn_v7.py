@@ -46,7 +46,7 @@ from pairnet_tpu.ops.pallas_deform_attn_v6 import (
 
 import os as _os
 
-TQ = int(_os.environ.get("PAIRNET_DEFORM7_TQ", "128"))
+TQ = int(_os.environ.get("PAIRNET_DEFORM7_TQ", "256"))  # 256: ~6-12% over 128 (tools/bench_deform_ab)
 BLK = 128
 
 

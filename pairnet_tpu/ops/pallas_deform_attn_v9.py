@@ -20,6 +20,13 @@ see pallas_deform_attn_v7.py for the value-plane contract.
 Ref: mmcv MultiScaleDeformableAttention semantics (SURVEY.md §2.4);
 sampling location p maps to pixel p * size - 0.5, out-of-plane corners
 contribute zero.
+
+MEASURED RESULT (v5e, tools/bench_deform_ab.py): 2.5x SLOWER than v7
+(95.4 vs 37.4 ms at tight ~2px offsets). The per-group-visit fixed cost
+(dynamic value slice + fori_loop setup + meta read) dominates the saved
+gather lanes — the same effect the v6 docstring reports for its per-group
+trial. Retained as a documented negative result with its parity test; the
+dispatcher never selects v9 automatically.
 """
 
 from __future__ import annotations

@@ -29,14 +29,21 @@ def tiny_baseline():
         num_relation_layers=2,
         pixel_decoder_layers=1,
     )
-    return PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    return PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
 
 
-def test_forward_shapes(tiny_baseline):
+@pytest.fixture(scope="module")
+def baseline_fwd(tiny_baseline):
+    """Shared init + forward compile (suite is compile-bound, 1 core)."""
     rng = np.random.default_rng(0)
     batch = _fake_batch(rng)
     params = jax.jit(tiny_baseline.init)(jax.random.PRNGKey(0), batch["image"])
     out = jax.jit(tiny_baseline.apply)(params, batch["image"])
+    return batch, params, out
+
+
+def test_forward_shapes(tiny_baseline, baseline_fwd):
+    batch, params, out = baseline_fwd
     B, Q, K = 2, 20, 16
     assert out["cls"].shape == (B, Q, 8)
     assert out["rel"].shape == (B, K, 6)  # num_relations + bg
@@ -45,10 +52,8 @@ def test_forward_shapes(tiny_baseline):
     assert (np.asarray(out["sub_pos"]) < Q).all()
 
 
-def test_loss_and_grad(tiny_baseline):
-    rng = np.random.default_rng(1)
-    batch = _fake_batch(rng)
-    params = jax.jit(tiny_baseline.init)(jax.random.PRNGKey(0), batch["image"])
+def test_loss_and_grad(tiny_baseline, baseline_fwd):
+    batch, params, _out = baseline_fwd
 
     def loss_fn(p):
         out = tiny_baseline.apply(p, batch["image"])
@@ -70,11 +75,8 @@ def test_loss_and_grad(tiny_baseline):
     assert gnorm > 0
 
 
-def test_postprocess(tiny_baseline):
-    rng = np.random.default_rng(2)
-    batch = _fake_batch(rng)
-    params = jax.jit(tiny_baseline.init)(jax.random.PRNGKey(0), batch["image"])
-    out = jax.jit(tiny_baseline.apply)(params, batch["image"])
+def test_postprocess(tiny_baseline, baseline_fwd):
+    batch, params, out = baseline_fwd
     pred = jax.jit(lambda o: baseline_postprocess(o, 0, num_things=4))(
         {k: v for k, v in out.items() if not isinstance(v, list)}
     )

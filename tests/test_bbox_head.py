@@ -15,7 +15,7 @@ def test_forward_shapes_and_refinement():
         embed_dims=32, num_heads=4, num_encoder_layers=2,
         num_decoder_layers=2, num_relation_layers=2, num_levels=4,
     )
-    model = PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    model = PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
     img = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), img)
     out = jax.jit(model.apply)(params, img)
@@ -64,7 +64,7 @@ def test_bbox_loss_and_postprocess():
         embed_dims=32, num_heads=4, num_encoder_layers=1,
         num_decoder_layers=1, num_relation_layers=1, num_levels=4,
     )
-    model = PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    model = PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
     rng = np.random.default_rng(1)
     img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)

@@ -35,7 +35,7 @@ def test_detr4seg_forward_loss_postprocess():
         num_classes=7, num_query=10, embed_dims=32, num_heads=4,
         num_encoder_layers=1, num_decoder_layers=2,
     )
-    model = PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    model = PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)

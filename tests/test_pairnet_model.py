@@ -24,7 +24,7 @@ def tiny_model():
         num_relation_layers=2,
         pixel_decoder_layers=1,
     )
-    return PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    return PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
 
 
 def _fake_batch(rng, B=2, H=64, W=64, G=6, Rm=8):
@@ -53,11 +53,18 @@ def _fake_batch(rng, B=2, H=64, W=64, G=6, Rm=8):
     }
 
 
-def test_forward_shapes(tiny_model):
+@pytest.fixture(scope="module")
+def model_fwd(tiny_model):
+    """Shared init + forward compile (suite is compile-bound, 1 core)."""
     rng = np.random.default_rng(0)
     batch = _fake_batch(rng)
     params = jax.jit(tiny_model.init)(jax.random.PRNGKey(0), batch["image"])
     out = jax.jit(tiny_model.apply)(params, batch["image"])
+    return batch, params, out
+
+
+def test_forward_shapes(tiny_model, model_fwd):
+    batch, params, out = model_fwd
     B, Q, K = 2, 20, 16
     assert out["cls"].shape == (B, Q, 8)
     assert out["rel"].shape == (B, K, 5)
@@ -71,10 +78,8 @@ def test_forward_shapes(tiny_model):
     assert np.isfinite(np.asarray(out["cls"])).all()
 
 
-def test_loss_and_grad(tiny_model):
-    rng = np.random.default_rng(1)
-    batch = _fake_batch(rng)
-    params = jax.jit(tiny_model.init)(jax.random.PRNGKey(0), batch["image"])
+def test_loss_and_grad(tiny_model, model_fwd):
+    batch, params, _out = model_fwd
     cum = jnp.zeros((5,), jnp.float32)
 
     def loss_fn(p):
@@ -104,11 +109,8 @@ def test_loss_and_grad(tiny_model):
     assert sum(float(jnp.abs(g).sum()) for g in leaves) > 0
 
 
-def test_seg_losses_optional(tiny_model):
-    rng = np.random.default_rng(2)
-    batch = _fake_batch(rng)
-    params = jax.jit(tiny_model.init)(jax.random.PRNGKey(0), batch["image"])
-    out = jax.jit(tiny_model.apply)(params, batch["image"])
+def test_seg_losses_optional(tiny_model, model_fwd):
+    batch, params, out = model_fwd
     losses, _ = jax.jit(
         lambda o, b: pairnet_loss(
             o, b, jax.random.PRNGKey(0), jnp.zeros((5,)),

@@ -22,7 +22,7 @@ def test_anchors_and_decode():
 
 def test_detector_inference():
     det = PanopticFPN(
-        backbone=ResNet(depth=50, base_width=8),
+        backbone=ResNet(depth=26, base_width=8),
         num_things=5, num_stuff=3, num_proposals=32, max_dets=8,
         score_thr=0.0,
     )

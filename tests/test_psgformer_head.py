@@ -27,14 +27,21 @@ def tiny_psgformer():
         num_encoder_layers=2,
         num_decoder_layers=2,
     )
-    return PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    return PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
 
 
-def test_forward_shapes(tiny_psgformer):
+@pytest.fixture(scope="module")
+def psgformer_fwd(tiny_psgformer):
+    """Shared init + forward compile (suite is compile-bound, 1 core)."""
     rng = np.random.default_rng(0)
     batch = _batch_with_boxes(rng)
     params = jax.jit(tiny_psgformer.init)(jax.random.PRNGKey(0), batch["image"])
     out = jax.jit(tiny_psgformer.apply)(params, batch["image"])
+    return batch, params, out
+
+
+def test_forward_shapes(tiny_psgformer, psgformer_fwd):
+    batch, params, out = psgformer_fwd
     B, Q, K = 2, 12, 12
     assert out["cls"].shape == (B, Q, 8)
     assert out["rel"].shape == (B, K, 6)
@@ -45,10 +52,8 @@ def test_forward_shapes(tiny_psgformer):
     assert not np.allclose(np.asarray(out["cls"]), np.asarray(out["sub"]))
 
 
-def test_loss_and_grad(tiny_psgformer):
-    rng = np.random.default_rng(1)
-    batch = _batch_with_boxes(rng)
-    params = jax.jit(tiny_psgformer.init)(jax.random.PRNGKey(0), batch["image"])
+def test_loss_and_grad(tiny_psgformer, psgformer_fwd):
+    batch, params, _out = psgformer_fwd
 
     def loss_fn(p):
         out = tiny_psgformer.apply(p, batch["image"])
@@ -71,11 +76,8 @@ def test_loss_and_grad(tiny_psgformer):
     assert gn > 0
 
 
-def test_postprocess(tiny_psgformer):
-    rng = np.random.default_rng(2)
-    batch = _batch_with_boxes(rng)
-    params = jax.jit(tiny_psgformer.init)(jax.random.PRNGKey(0), batch["image"])
-    out = jax.jit(tiny_psgformer.apply)(params, batch["image"])
+def test_postprocess(tiny_psgformer, psgformer_fwd):
+    batch, params, out = psgformer_fwd
     pred = jax.jit(lambda o: psgformer_postprocess(o, 0, num_things=4))(
         {k: v for k, v in out.items() if not isinstance(v, list)}
     )

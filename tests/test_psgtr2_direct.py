@@ -18,7 +18,7 @@ def test_psgtr2_forward_and_loss():
         num_classes=7, num_relations=5, num_query=12, embed_dims=32,
         num_heads=4, num_decoder_layers=3, pixel_decoder_layers=1,
     )
-    model = PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    model = PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
     rng = np.random.default_rng(0)
     batch = _fake_batch(rng)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])
@@ -49,7 +49,7 @@ def test_crosshead_direct():
         embed_dims=32, num_heads=4, num_decoder_layers=3,
         num_relation_layers=2, pixel_decoder_layers=1, direct=True,
     )
-    model = PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    model = PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
     rng = np.random.default_rng(1)
     batch = _fake_batch(rng)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"])

@@ -31,7 +31,7 @@ def test_sgdet_end_to_end(tmp_path):
     n_cls = 8  # tiny synthetic label space (<= 7 classes + bg)
 
     det = PanopticFPN(
-        backbone=ResNet(depth=50, base_width=8),
+        backbone=ResNet(depth=26, base_width=8),
         num_things=n_cls - 1, num_stuff=2, num_proposals=16, max_dets=8,
         score_thr=0.0,
     )
@@ -52,7 +52,7 @@ def test_sgdet_end_to_end(tmp_path):
         return dets.boxes, dets.labels, dets.dists, dets.valid, det_masks
 
     model = SceneGraphTwoStage(
-        backbone=ResNet(depth=50, base_width=8),
+        backbone=ResNet(depth=26, base_width=8),
         relation_head=MotifHead(
             num_classes=n_cls, num_predicates=NUM_PREDICATES + 1,
             mode="sgdet", hidden_dim=32, roi_dim=64,

@@ -64,7 +64,7 @@ def test_forward_loss_grad(head_cls):
     rng = np.random.default_rng(0)
     batch = _twostage_batch(rng)
     model = SceneGraphTwoStage(
-        backbone=ResNet(depth=50, base_width=8),
+        backbone=ResNet(depth=26, base_width=8),
         relation_head=head_cls(**_head_kwargs()),
         neck_channels=32,
     )

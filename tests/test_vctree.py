@@ -86,7 +86,7 @@ def test_vctree_head_forward_loss():
     rng = np.random.default_rng(0)
     batch = _twostage_batch(rng)
     model = SceneGraphTwoStage(
-        backbone=ResNet(depth=50, base_width=8),
+        backbone=ResNet(depth=26, base_width=8),
         relation_head=VCTreeHead(**_head_kwargs()),
         neck_channels=32,
     )

@@ -25,7 +25,7 @@ def tiny_pairnet(num_queries=20, num_rel_queries=16, dims=32):
         num_relation_layers=2,
         pixel_decoder_layers=1,
     )
-    return PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
+    return PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
 
 
 def tiny_pipeline_cfg(**kw):

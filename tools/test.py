@@ -178,10 +178,28 @@ def main():
                 det_vars, jnp.asarray(img, jnp.float32), jnp.asarray(shape)
             )
 
+            from pairnet_tpu.models.frameworks.panoptic_fpn import (
+                heuristic_fusion_segments,
+            )
+
+            num_stuff = det_cfg.get("num_stuff", 53)
+            num_things = det_cfg.get("num_things", 80)
+            _fuse_jit = jax.jit(
+                lambda dets, masks, sem: heuristic_fusion_segments(
+                    dets, masks, sem, num_things, num_stuff,
+                    mask_stride=pipe_cfg.mask_stride,
+                )
+            )
+
             def detector_apply(img, shape):
-                dets, _sem, det_masks = det_fwd(img, shape)
-                return (dets.boxes, dets.labels, dets.dists, dets.valid,
-                        det_masks)
+                # panoptic segments (things + stuff via heuristic fusion)
+                # feed the relation head, matching the reference sgdet
+                # source (ref: sg_panoptic_fpn.py:57-142)
+                dets, sem, det_masks = det_fwd(img, shape)
+                seg = _fuse_jit(dets, det_masks, sem)
+                mask_logits = jnp.where(seg.masks, 1.0, -1.0)
+                return (seg.boxes, seg.labels, seg.dists, seg.valid,
+                        mask_logits)
 
         metrics = evaluate_twostage(
             apply2,
