@@ -300,7 +300,7 @@ def test_full_baseline_checkpoint_roundtrip():
         num_rel_query=K, embed_dims=C, num_heads=4, num_decoder_layers=3,
         num_relation_layers=2, pixel_decoder_layers=1,
     )
-    model = PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
+    model = PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
     variables = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     )
@@ -324,7 +324,7 @@ def test_full_pairnet_checkpoint_roundtrip():
         embed_dims=32, num_heads=4, num_decoder_layers=3,
         num_relation_layers=2, pixel_decoder_layers=1,
     )
-    model = PSGTr(backbone=ResNet(depth=26, base_width=8), bbox_head=head)
+    model = PSGTr(backbone=ResNet(depth=50, base_width=8), bbox_head=head)
     variables = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     )
