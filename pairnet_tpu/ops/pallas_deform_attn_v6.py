@@ -262,7 +262,7 @@ def _bilinear_factors(x, y, h, w):
 
 
 def _bwd_kernel(
-    meta_ref, x_ref, y_ref, a_ref, v_ref, g_ref,
+    meta_ref, x_ref, y_ref, a_ref, it_ref, v_ref, g_ref,
     dv_ref, dx_ref, dy_ref, da_ref, *, h, w, nqt,
 ):
     D = v_ref.shape[1]
@@ -289,7 +289,6 @@ def _bwd_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (qpg, BLK), 1)
     qrow = jax.lax.broadcasted_iota(jnp.int32, (qpg, BLK), 0)
     sel = ((lane % gp) // P == qrow).astype(jnp.float32)  # (qpg, 128)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
 
     m = meta_ref[b * nqt + q]
     base = (m >> 12) * BLK
@@ -297,14 +296,19 @@ def _bwd_kernel(
 
     # expand upstream grads to tap lanes: g_tap[j][d, t] = g[q(t), d]
     g_taps = []
+    gw = []
     for j in range(ng):
         g_grp = g_ref[0, j * qpg : (j + 1) * qpg, :]  # (qpg, D)
-        g_taps.append(
-            jax.lax.dot_general(
-                g_grp, sel, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        gt = jax.lax.dot_general(
+            g_grp, sel, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (D, 128)
+        g_taps.append(gt)
+        # block-INDEPENDENT dV operand: the one-hot compare below already
+        # zeroes out-of-block taps, so g*w hoists out of the block loop
+        gw.append(gt * w_all[j : j + 1])
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
 
     def blk_body(k, dws):
         b0 = pl.multiple_of(base + k * BLK, BLK)
@@ -321,13 +325,17 @@ def _bwd_kernel(
             # d w_t = sum_d g_tap * V[i_t]  (only when in this block)
             dw_blk = jnp.sum(g_taps[j] * gathered, axis=0, keepdims=True)
             out.append(dws[j] + dw_blk * inb)
-            # dV[c] += onehot^T-weighted tap grads
-            wk = w_all[j : j + 1] * inb  # (1, 128)
-            oh = (jnp.broadcast_to(lo.T, (BLK, BLK)) ==
-                  jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-                  ).astype(jnp.float32)  # (128 taps, 128 pos)
+            # dV[pos] += onehot^T-weighted tap grads.  The one-hot is
+            # built from the PRE-TRANSPOSED tap indices (taps in
+            # sublanes, XLA-side transpose): one compare against the
+            # lane iota, no in-kernel lane->sublane transpose, and
+            # out-of-block taps (relT outside [0, BLK)) match no lane —
+            # the dV ablation measured the old transpose+mask build at
+            # 189 of 251 ms per encoder-geometry backward call.
+            relT = it_ref[0, :, j : j + 1] - b0  # (128 taps, 1)
+            oh = (relT == pos).astype(jnp.float32)  # (128 taps, 128 pos)
             dvb = dvb + jax.lax.dot_general(
-                g_taps[j] * wk, oh, (((1,), (0,)), ((), ())),
+                gw[j], oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         dv_ref[0, :, pl.ds(b0, BLK)] += dvb
@@ -351,6 +359,30 @@ def _bwd_kernel(
     dy_ref[0] = dfy
 
 
+def _tap_indices_T(xg, yg, h, w, nqt):
+    """4-corner flat tap indices, TRANSPOSED to tap-major sublanes.
+
+    xg/yg (BH, n_groups, gp) pixel coords -> (BH, nqt*BLK, ng) i32 where
+    row (tile*BLK + t) column j is tap-lane t of group j (lane layout
+    corner*gp + inner, matching _bilinear_factors order).
+    """
+    BH, n_groups, gp = xg.shape
+    ng = n_groups // nqt
+    x0 = jnp.floor(xg).astype(jnp.int32)
+    y0 = jnp.floor(yg).astype(jnp.int32)
+    flats = []
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        flats.append(
+            jnp.clip(y0 + dy, 0, h - 1) * w + jnp.clip(x0 + dx, 0, w - 1)
+        )
+    idx4 = jnp.concatenate(flats, -1)  # (BH, n_groups, 4*gp = BLK)
+    return (
+        idx4.reshape(BH, nqt, ng, BLK)
+        .swapaxes(2, 3)
+        .reshape(BH, nqt * BLK, ng)
+    )
+
+
 def _deform_bwd_v6(values_t, xg, yg, ag, g, base, nblk, h, w):
     """-> (dvalues_t, dx, dy, da) with the forward's shapes/layouts."""
     BH, D, S_pad = values_t.shape
@@ -358,6 +390,7 @@ def _deform_bwd_v6(values_t, xg, yg, ag, g, base, nblk, h, w):
     nqt = base.shape[1]
     ng = n_groups // nqt
     meta = ((base // BLK) << 12 | nblk).reshape(-1)
+    idxT = _tap_indices_T(xg, yg, h, w, nqt)
     kern = functools.partial(_bwd_kernel, h=h, w=w, nqt=nqt)
     coord_spec = pl.BlockSpec(
         (1, ng, gp), lambda b, q, *_: (b, q, 0), memory_space=pltpu.VMEM
@@ -369,6 +402,10 @@ def _deform_bwd_v6(values_t, xg, yg, ag, g, base, nblk, h, w):
             coord_spec,
             coord_spec,
             coord_spec,
+            pl.BlockSpec(
+                (1, BLK, ng), lambda b, q, *_: (b, q, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, D, S_pad), lambda b, q, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -400,7 +437,7 @@ def _deform_bwd_v6(values_t, xg, yg, ag, g, base, nblk, h, w):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(meta, xg, yg, ag, values_t, g)
+    )(meta, xg, yg, ag, idxT, values_t, g)
 
 
 def _ms_deform_attn_v6_bwd_impl(value, spatial_shapes, locs, weights, g):
