@@ -134,7 +134,14 @@ def bench_train():
     )
     tx = build_optimizer(variables["params"])
     state = TrainState.create(variables, tx, 56)
-    step = jax.jit(make_train_step(model, tx, {"num_points": 12544}))
+    compute_dtype = dict(bf16=jnp.bfloat16, f32=None)[
+        os.environ.get("BENCH_DTYPE", "bf16")
+    ]
+    step = jax.jit(
+        make_train_step(
+            model, tx, {"num_points": 12544}, compute_dtype=compute_dtype
+        )
+    )
 
     def chained(st, bt):
         st, metrics = step(st, bt)

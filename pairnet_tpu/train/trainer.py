@@ -60,12 +60,20 @@ def make_train_step(
     loss_kwargs: dict | None = None,
     loss_fn=None,
     apply_adapter=None,
+    compute_dtype=None,
 ) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     ``loss_fn(outputs, batch, rng, cum_state) -> (losses, new_cum_state)``
     defaults to the Pair-Net loss; ``apply_adapter(model, variables, batch,
     **kw)`` defaults to the single-stage image contract.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed-precision training: the
+    forward/backward run on bf16 params and activations (riding the bf16
+    MXU path and the packed-pair deform kernel) while master params,
+    gradients and the AdamW state stay f32 — autodiff through the cast
+    accumulates the gradient back to f32.  The loss itself is computed on
+    f32-upcast head outputs (softmax/Seesaw stay exact).
     """
     loss_kwargs = loss_kwargs or {}
     if loss_fn is None:
@@ -81,13 +89,28 @@ def make_train_step(
         def _loss(params):
             variables = dict(state.params)
             variables["params"] = params
+            bt = batch
+            if compute_dtype is not None:
+                cast = lambda t: (
+                    t.astype(compute_dtype) if t.dtype == jnp.float32 else t
+                )
+                variables = jax.tree_util.tree_map(cast, variables)
+                bt = dict(batch)
+                bt["image"] = batch["image"].astype(compute_dtype)
             out = apply_adapter(
                 model,
                 variables,
-                batch,
+                bt,
                 deterministic=False,
                 rngs={"dropout": dropout_rng},
             )
+            if compute_dtype is not None:
+                out = jax.tree_util.tree_map(
+                    lambda t: t.astype(jnp.float32)
+                    if t.dtype == compute_dtype
+                    else t,
+                    out,
+                )
             losses, new_cum = loss_fn(out, batch, points_rng, state.cum_samples)
             return losses["loss_total"], (losses, new_cum)
         loss_fn_inner = _loss
@@ -160,6 +183,7 @@ class Trainer:
         log_interval: int = 50,
         ckpt_interval_epochs: int = 1,
         max_keep_ckpts: int = 15,
+        compute_dtype=None,
     ):
         self.model = model
         self.tx = tx
@@ -177,7 +201,10 @@ class Trainer:
         self.ckpt_interval_epochs = ckpt_interval_epochs
         os.makedirs(work_dir, exist_ok=True)
         self._step_fn = jax.jit(
-            make_train_step(model, tx, loss_kwargs, loss_fn, apply_adapter),
+            make_train_step(
+                model, tx, loss_kwargs, loss_fn, apply_adapter,
+                compute_dtype=compute_dtype,
+            ),
             donate_argnums=0,
         )
         self._val_fn = jax.jit(

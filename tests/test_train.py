@@ -88,6 +88,49 @@ def test_sharded_train_step_runs_and_learns(tmp_path):
     assert float(state.cum_samples.sum()) > 0
 
 
+def test_bf16_mixed_precision_step(tmp_path):
+    """compute_dtype=bf16: fwd/bwd on bf16 casts, master params/opt stay f32,
+    losses finite and close to the f32 step's (same batch, same init)."""
+    ds = make_dataset(tmp_path)
+    cfg = tiny_pipeline_cfg()
+    model = tiny_pairnet()
+    loader = Loader(ds, cfg, batch_size=4, train=True, seed=0, drop_last=False)
+    batch0 = {
+        k: v for k, v in next(iter(loader)).items() if k != "batch_valid"
+    }
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(batch0["image"])
+    )
+    tx = build_optimizer(variables["params"], base_lr=1e-3)
+
+    def one_step(compute_dtype):
+        state = TrainState.create(variables, tx, NUM_PREDICATES)
+        step = jax.jit(
+            make_train_step(
+                model, tx, {"num_points": 128}, compute_dtype=compute_dtype
+            )
+        )
+        state, metrics = step(state, jax.device_get(batch0))
+        return state, jax.device_get(metrics)
+
+    state16, m16 = one_step(jnp.bfloat16)
+    _, m32 = one_step(None)
+    assert np.isfinite(m16["loss_total"]) and m16["grad_norm"] > 0
+    # master params and optimizer state stay f32 after the bf16 update
+    leaves = jax.tree_util.tree_leaves(state16.params["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    opt_leaves = [
+        l
+        for l in jax.tree_util.tree_leaves(state16.opt_state)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+    ]
+    assert all(l.dtype == jnp.float32 for l in opt_leaves)
+    # bf16 loss tracks the f32 loss (same targets; tolerance covers rounding)
+    assert abs(m16["loss_total"] - m32["loss_total"]) < 0.15 * abs(
+        m32["loss_total"]
+    ) + 0.5, (m16["loss_total"], m32["loss_total"])
+
+
 def test_trainer_fit_and_resume(tmp_path):
     ds = make_dataset(tmp_path / "data")
     cfg = tiny_pipeline_cfg()

@@ -157,6 +157,11 @@ def main():
     if head_type == "BaselineHead" and cfg.get("loss", {}).get("use_seesaw"):
         cum_size += 1  # CrossHead4 Seesaw runs over R+1 incl the bg column
     state = TrainState.create(variables, tx, cum_size, seed=seed)
+    # mixed-precision training (counterpart of the reference's fp16 hook;
+    # on TPU the right dtype is bf16): cfg.compute_dtype = 'bfloat16'
+    compute_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
+        cfg.get("compute_dtype") or ""
+    )
     trainer = Trainer(
         model, tx, state, work_dir, mesh=mesh,
         loss_fn=loss_fn,
@@ -164,6 +169,7 @@ def main():
         log_interval=cfg.get("log_interval", 50),
         ckpt_interval_epochs=cfg.checkpoint.interval_epochs,
         max_keep_ckpts=cfg.checkpoint.max_keep,
+        compute_dtype=compute_dtype,
     )
     max_epochs = args.max_epochs or cfg.schedule.max_epochs
     if args.max_steps:
