@@ -205,6 +205,12 @@ class MSDeformAttention(nn.Module):
     # the caller runs on transposed (column-major) planes: the offsets
     # layer predicts (dx, dy) in image axes, swap to the transposed frame
     swap_offset_xy: bool = False
+    # sequence parallelism (SURVEY §5.7: shard the H*W token axis): set to
+    # the mesh axis name when applied inside shard_map with queries/values
+    # sharded on the token axis. The value projection runs on the LOCAL
+    # shard; ONE all_gather of the projected plane per layer rides ICI, and
+    # every other matmul (offsets/attn/output proj) stays 1/m-sized.
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -224,6 +230,8 @@ class MSDeformAttention(nn.Module):
             query = query + query_pos
 
         v = nn.Dense(C, name="value_proj")(value).reshape(B, -1, H, C // H)
+        if self.seq_axis is not None:
+            v = jax.lax.all_gather(v, self.seq_axis, axis=1, tiled=True)
         offsets = nn.Dense(
             H * L * P * 2,
             name="sampling_offsets",

@@ -55,6 +55,8 @@ class DeformableEncoderLayer(nn.Module):
     # MSDeformAttnPixelDecoder): predicted offsets are (dx, dy) in image
     # axes and must swap to match the transposed reference frame
     swap_offset_xy: bool = False
+    # sequence-parallel mesh axis (see parallel/spatial.py)
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, pos, reference_points, spatial_shapes):
@@ -65,6 +67,7 @@ class DeformableEncoderLayer(nn.Module):
             self.num_levels,
             self.num_points,
             swap_offset_xy=self.swap_offset_xy,
+            seq_axis=self.seq_axis,
             name="attn",
         )(x, x, reference_points, spatial_shapes, query_pos=pos)
         x = nn.LayerNorm(name="norm1")(x)
