@@ -59,6 +59,11 @@ def main():
         cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
         variables = jax.tree_util.tree_map(cast, variables)
         img = img.astype(dtype)
+        # quad-packed int8-gather kernel for bf16 inference: 26-29% faster
+        # than v7 with output deltas at the bf16-cast noise floor
+        # (tools/ab_kernel_fullgeom.py); training keeps the exact-backward
+        # v7/v6 dispatch
+        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v10")
     fwd = jax.jit(lambda v, x: model.apply(v, x))
 
     # Timing methodology for the tunneled (axon) runtime, validated against
@@ -198,6 +203,8 @@ def bench_eval():
         cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
         variables = jax.tree_util.tree_map(cast, variables)
         img = img.astype(dtype)
+        # see main(): v10 quad-packed int8 gather for bf16 inference
+        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v10")
 
     def fwd_post(v, x):
         out = model.apply(v, x)

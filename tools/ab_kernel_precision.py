@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pairnet_jax_cache")
 
-IMPLS = ("patch", "pallas_v6", "pallas_v7")
+IMPLS = tuple(
+    os.environ.get(
+        "AB_IMPLS", "patch,pallas_v6,pallas_v7,pallas_v10"
+    ).split(",")
+)
 
 
 def main():
