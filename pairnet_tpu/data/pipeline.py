@@ -14,7 +14,7 @@ resolution).
 Batch contract (see models/heads/pairnet_loss.py):
   image       (B, H, W, 3) f32 normalized
   gt_labels   (B, G) int32        gt_valid (B, G) bool
-  gt_masks    (B, G, H/s, W/s) f32 {0,1}
+  gt_masks    (B, G, H/s, W/s) bool (consumers upcast on device)
   gt_rels     (B, R, 3) int32 [sub, obj, predicate_1based]
   rel_valid   (B, R) bool
   image_shape (B, 2) int32  (unpadded h, w after resize)
@@ -159,7 +159,10 @@ def preprocess_sample(
     # resize masks to the resized-image geometry, then place on the canvas
     m_small = _resize_masks_nearest(masks, (max(1, rh // s), max(1, rw // s)))
     G = cfg.max_inst
-    gt_masks = np.zeros((G, mh, mw), np.float32)
+    # bool canvases: at max_inst=64 and 800x1344 the f32 version was 68 MB
+    # per sample — 4x the host-side alloc/copy and 4x the host->device
+    # transfer for identical information; consumers upcast on device
+    gt_masks = np.zeros((G, mh, mw), bool)
     gt_labels = np.zeros((G,), np.int32)
     gt_valid = np.zeros((G,), bool)
     n = min(len(masks), G)

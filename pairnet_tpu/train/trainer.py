@@ -84,6 +84,11 @@ def make_train_step(
             return model.apply(variables, batch["image"], **kw)
 
     def train_step(state: TrainState, batch: dict):
+        # the loader ships bool mask canvases (4x less host->device
+        # traffic); losses want f32 — upcast once on device
+        if "gt_masks" in batch and batch["gt_masks"].dtype == jnp.bool_:
+            batch = dict(batch)
+            batch["gt_masks"] = batch["gt_masks"].astype(jnp.float32)
         rng, points_rng, dropout_rng = jax.random.split(state.rng, 3)
 
         def _loss(params):
@@ -158,6 +163,9 @@ def make_val_step(
             return model.apply(variables, batch["image"], **kw)
 
     def val_step(state: TrainState, batch: dict):
+        if "gt_masks" in batch and batch["gt_masks"].dtype == jnp.bool_:
+            batch = dict(batch)
+            batch["gt_masks"] = batch["gt_masks"].astype(jnp.float32)
         points_rng = jax.random.fold_in(state.rng, 1)
         out = apply_adapter(model, state.params, batch, deterministic=True)
         losses, _ = loss_fn(out, batch, points_rng, state.cum_samples)
