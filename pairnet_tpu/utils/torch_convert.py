@@ -867,17 +867,24 @@ def convert_panoptic_fpn(sd: Mapping) -> dict:
     _linear(p, "bbox_head/fc_cls", sd, "roi_head.bbox_head.fc_cls")
     _linear(p, "bbox_head/fc_reg", sd, "roi_head.bbox_head.fc_reg")
 
-    for i in range(4):
-        _conv(p, f"mask_head/conv{i}", sd, f"roi_head.mask_head.convs.{i}.conv")
-    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
-    # kernel (kh, kw, in, out) with SPATIALLY FLIPPED taps (torch's op is the
-    # conv gradient = flipped correlation; verified numerically)
-    w = _t(sd["roi_head.mask_head.upsample.weight"])
-    p["mask_head/upsample/kernel"] = np.ascontiguousarray(
-        w.transpose(2, 3, 0, 1)[::-1, ::-1]
-    )
-    p["mask_head/upsample/bias"] = _t(sd["roi_head.mask_head.upsample.bias"])
-    _conv(p, "mask_head/conv_logits", sd, "roi_head.mask_head.conv_logits")
+    # mask branch only when present: a Faster R-CNN checkpoint (the
+    # SceneGraphRCNN / VG box-SGG detector, ref frameworks/sg_rcnn.py)
+    # carries neither mask_head nor semantic_head — the converter then
+    # yields the box-only subset for the same TwoStage shell
+    if "roi_head.mask_head.upsample.weight" in sd:
+        for i in range(4):
+            _conv(
+                p, f"mask_head/conv{i}", sd, f"roi_head.mask_head.convs.{i}.conv"
+            )
+        # torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+        # kernel (kh, kw, in, out) with SPATIALLY FLIPPED taps (torch's op is
+        # the conv gradient = flipped correlation; verified numerically)
+        w = _t(sd["roi_head.mask_head.upsample.weight"])
+        p["mask_head/upsample/kernel"] = np.ascontiguousarray(
+            w.transpose(2, 3, 0, 1)[::-1, ::-1]
+        )
+        p["mask_head/upsample/bias"] = _t(sd["roi_head.mask_head.upsample.bias"])
+        _conv(p, "mask_head/conv_logits", sd, "roi_head.mask_head.conv_logits")
 
     i = 0
     while f"semantic_head.conv_upsample_layers.{i}.conv.0.conv.weight" in sd:
@@ -890,7 +897,8 @@ def convert_panoptic_fpn(sd: Mapping) -> dict:
             _norm(p, f"semantic_head/up{i}_gn{j}", sd, f"{src}.gn")
             j += 1
         i += 1
-    _conv(p, "semantic_head/conv_logits", sd, "semantic_head.conv_logits")
+    if "semantic_head.conv_logits.weight" in sd:
+        _conv(p, "semantic_head/conv_logits", sd, "semantic_head.conv_logits")
     return {
         "params": {"backbone": unflatten(bb_params), **unflatten(p)},
         "constants": {"backbone": unflatten(bb_consts)},

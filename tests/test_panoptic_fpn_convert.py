@@ -265,3 +265,22 @@ def test_semantic_head_parity(converted):
     np.testing.assert_allclose(
         np.asarray(j_out).transpose(0, 3, 1, 2), t_out.numpy(), atol=1e-4
     )
+
+
+def test_faster_rcnn_subset_converts():
+    """A Faster R-CNN checkpoint (no mask_head / semantic_head — the
+    SceneGraphRCNN VG detector, ref frameworks/sg_rcnn.py) converts to the
+    box-only parameter subset without error."""
+    fpn = TorchFPN([4, 6, 8, 10])
+    rpn = TorchRPN()
+    bbox = TorchBBoxHead()
+    sd = _bn_free_resnet_sd()
+    sd.update({f"neck.{k}": v for k, v in fpn.state_dict().items()})
+    sd.update({f"rpn_head.{k}": v for k, v in rpn.state_dict().items()})
+    sd.update(
+        {f"roi_head.bbox_head.{k}": v for k, v in bbox.state_dict().items()}
+    )
+    out = convert_panoptic_fpn(sd)
+    params = out["params"]
+    assert "rpn_head" in params and "bbox_head" in params
+    assert "mask_head" not in params and "semantic_head" not in params
