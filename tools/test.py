@@ -45,13 +45,24 @@ def parse_args():
         "engine mirroring the reference sgg_metrics",
     )
     p.add_argument(
+        "--split",
+        choices=["test", "train"],
+        default="test",
+        help="dataset split to score (train: sanity/overfit checks)",
+    )
+    p.add_argument(
         "--dtype",
         choices=["f32", "bf16"],
         default="f32",
-        help="bf16: production fast inference — bf16 params/activations and "
-        "the quad-packed int8 deform kernel (zero measured R@K delta on a "
-        "trained checkpoint, tools/ab_kernel_precision.py; ~25%% faster "
-        "e2e). f32: the exact scoring oracle path.",
+        help="bf16: fast inference — bf16 params/activations and the "
+        "quad-packed int8 deform kernel (~25%% faster e2e; kernel choice "
+        "has zero R@K delta at fixed bf16 inputs, "
+        "tools/ab_kernel_precision.py). CAVEAT: bf16-vs-f32 of the FULL "
+        "model is checkpoint-dependent — masked attention thresholds "
+        "sigmoid(mask) at 0.5, so near-threshold bf16 jitter can flip "
+        "attention regions (measured large R@K shift on the overfit tiny "
+        "fixture, none bounded at scale); score your checkpoint in both "
+        "before serving bf16. f32 (default): the exact oracle path.",
     )
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -97,7 +108,7 @@ def main():
     if args.cfg_options:
         cfg = apply_overrides(cfg, args.cfg_options)
 
-    dataset = build_dataset(cfg, split="test")
+    dataset = build_dataset(cfg, split=args.split)
     pipe_cfg = build_pipeline_cfg(cfg, train=False)
     model = build_detector(cfg)
 
@@ -145,7 +156,17 @@ def main():
         # variables as jit ARGUMENTS, not closure constants: baking the
         # weights into the HLO triggers an XLA:TPU fusion-emitter crash
         # (negative-pad window) and bloats compile time
-        _fwd = jax.jit(lambda v, img: model.apply(v, img))
+        # outputs upcast to f32 inside the jit: postprocess (panoptic
+        # fusion, mask IoU, triplet ranking) stays exact regardless of the
+        # compute dtype — only the network itself runs bf16
+        _fwd = jax.jit(
+            lambda v, img: jax.tree_util.tree_map(
+                lambda t: t.astype(jnp.float32)
+                if t.dtype == jnp.bfloat16
+                else t,
+                model.apply(v, img),
+            )
+        )
         apply_fn = lambda img: _fwd(
             variables, jnp.asarray(img).astype(in_dtype)
         )
