@@ -59,11 +59,12 @@ def main():
         cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
         variables = jax.tree_util.tree_map(cast, variables)
         img = img.astype(dtype)
-        # quad-packed int8-gather kernel for bf16 inference: 26-29% faster
-        # than v7 with output deltas at the bf16-cast noise floor
-        # (tools/ab_kernel_fullgeom.py); training keeps the exact-backward
-        # v7/v6 dispatch
-        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v10")
+        # per-group-window quad-packed int8 kernel (v11) for bf16 inference:
+        # v10's packing + per-(tile, group) block windows (+9.6% e2e over
+        # v10 at bench geometry), numerics identical to v10 and bounded at
+        # the bf16-cast noise floor (tools/ab_kernel_fullgeom.py); training
+        # keeps the exact-backward v7/v6 dispatch
+        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v11")
     fwd = jax.jit(lambda v, x: model.apply(v, x))
 
     # Timing methodology for the tunneled (axon) runtime, validated against
@@ -203,8 +204,8 @@ def bench_eval():
         cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
         variables = jax.tree_util.tree_map(cast, variables)
         img = img.astype(dtype)
-        # see main(): v10 quad-packed int8 gather for bf16 inference
-        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v10")
+        # see main(): v11 per-group-window int8 gather for bf16 inference
+        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v11")
 
     def fwd_post(v, x):
         out = model.apply(v, x)
