@@ -196,6 +196,8 @@ def ms_deform_attn(
         import pairnet_tpu.ops.pallas_deform_attn_v10  # noqa: F401 - registers
     if impl == "pallas_v11" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn_v11  # noqa: F401 - registers
+    if impl == "pallas_v12" and impl not in _PALLAS_IMPL:
+        import pairnet_tpu.ops.pallas_deform_attn_v12  # noqa: F401 - registers
     if impl in _PALLAS_IMPL:
         return _PALLAS_IMPL[impl](
             value, spatial_shapes, sampling_locations, attention_weights
