@@ -198,6 +198,13 @@ def ms_deform_attn(
         import pairnet_tpu.ops.pallas_deform_attn_v11  # noqa: F401 - registers
     if impl == "pallas_v12" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn_v12  # noqa: F401 - registers
+    if impl == "pallas_v13":
+        # the flat-coords v13 path lives in MSDeformAttention (it consumes
+        # RAW projection outputs, not materialized locs); classic-interface
+        # callers (box-reference decoders etc.) get the v12 kernel
+        impl = "pallas_v12"
+        if impl not in _PALLAS_IMPL:
+            import pairnet_tpu.ops.pallas_deform_attn_v12  # noqa: F401
     if impl in _PALLAS_IMPL:
         return _PALLAS_IMPL[impl](
             value, spatial_shapes, sampling_locations, attention_weights
