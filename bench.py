@@ -43,7 +43,7 @@ def main():
 
     backbone = os.environ.get("BENCH_MODEL", "r50")  # r50 | swinb
     model = _flagship(backbone=backbone)
-    B, H, W = int(os.environ.get("BENCH_BATCH", "4")), 800, 1344
+    B, H, W = int(os.environ.get("BENCH_BATCH", "8")), 800, 1344
     # random (not constant) input: the tunneled runtime can elide repeated
     # identical executions, producing fantasy numbers
     img = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3), jnp.float32)
@@ -193,7 +193,7 @@ def bench_eval():
     from pairnet_tpu.models.heads.pairnet_inference import pairnet_postprocess
 
     model = _flagship()
-    B, H, W = int(os.environ.get("BENCH_BATCH", "4")), 800, 1344
+    B, H, W = int(os.environ.get("BENCH_BATCH", "8")), 800, 1344
     img = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3), jnp.float32)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
