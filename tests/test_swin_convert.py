@@ -182,6 +182,10 @@ class _TinySwin(tnn.Module):
 def test_swin_conversion_numeric(hw):
     """(24, 40): 6x10 patches -> exercises in-block window padding AND the
     odd-extent PatchMerging pad (6x10 -> merge of 6x10 ok; stage1 5-wide...)"""
+    # seed at TEST time: pytest imports all modules at collection, so the
+    # module-level seed doesn't survive other tests' torch RNG use — an
+    # unlucky suite-order draw once pushed |d| past atol
+    torch.manual_seed(0)
     tm = _TinySwin()
     tm.eval()
     sd = tm.state_dict()
