@@ -94,6 +94,48 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(B, Lk, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, H, D).transpose(0, 2, 1, 3)
 
+        # flash-style fused masked attention (SURVEY §5.7): the (B, H, Lq,
+        # Lk) score tensor never leaves VMEM. Inference-only (no VJP) and
+        # only worthwhile for long memories with a head-shared mask; opt in
+        # via PAIRNET_FLASH_ATTN=1 (tools/test.py / bench.py inference).
+        import os as _os
+
+        if (
+            _os.environ.get("PAIRNET_FLASH_ATTN") == "1"
+            and attn_mask is not None
+            and attn_mask.shape[1] == 1
+            and Lk >= 2048
+            and self.attn_drop == 0
+        ):
+            from pairnet_tpu.ops.pallas_masked_attn import (
+                ST,
+                masked_flash_attention,
+            )
+
+            Lqp = -(-Lq // 8) * 8
+            Lkp = -(-Lk // ST) * ST
+            qf = jnp.pad(
+                q.reshape(B * H, Lq, D), ((0, 0), (0, Lqp - Lq), (0, 0))
+            )
+            kf = jnp.pad(
+                k.reshape(B * H, Lk, D), ((0, 0), (0, Lkp - Lk), (0, 0))
+            )
+            vf = jnp.pad(
+                v.reshape(B * H, Lk, D), ((0, 0), (0, Lkp - Lk), (0, 0))
+            )
+            mf = jnp.pad(
+                attn_mask[:, 0].astype(jnp.int8),
+                ((0, 0), (0, Lqp - Lq), (0, Lkp - Lk)),
+                constant_values=1,  # padded keys masked out
+            )
+            out = masked_flash_attention(qf, kf, vf, mf, H)
+            out = out[:, :Lq].reshape(B, H, Lq, D).transpose(0, 2, 1, 3)
+            out = out.astype(value.dtype).reshape(B, Lq, C)
+            out = nn.Dense(C, name="out_proj")(out)
+            if self.proj_drop > 0:
+                out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            return out
+
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * (1.0 / math.sqrt(D))

@@ -76,7 +76,9 @@ def report(outdir, top=30):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="layer", choices=["layer", "decoder", "model"])
+    ap.add_argument(
+        "--what", default="layer", choices=["layer", "decoder", "model", "train"]
+    )
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--top", type=int, default=30)
@@ -111,6 +113,46 @@ def main():
         )
         fn = jax.jit(lambda t: layer.apply(variables, t, pos, ref, shapes))
         capture(fn, (tokens,), args.outdir)
+    elif args.what == "train":
+        import numpy as np
+
+        from __graft_entry__ import _flagship
+        from pairnet_tpu.train.optim import build_optimizer
+        from pairnet_tpu.train.trainer import TrainState, make_train_step
+
+        model = _flagship()
+        H, W, G, R = 800, 1344, 24, 40
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32),
+            "gt_labels": jnp.asarray(rng.integers(0, 133, size=(B, G)), jnp.int32),
+            "gt_masks": jnp.asarray(
+                rng.uniform(size=(B, G, H // 4, W // 4)) > 0.8, jnp.float32
+            ),
+            "gt_valid": jnp.asarray(np.ones((B, G), bool)),
+            "gt_rels": jnp.asarray(
+                np.stack(
+                    [rng.integers(0, G, (B, R)), rng.integers(0, G, (B, R)),
+                     rng.integers(1, 56, (B, R))], -1), jnp.int32),
+            "rel_valid": jnp.asarray(np.ones((B, R), bool)),
+        }
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
+        )
+        tx = build_optimizer(variables["params"])
+        state = TrainState.create(variables, tx, 56)
+        cdt = jnp.bfloat16 if args.dtype == "bf16" else None
+        step = jax.jit(
+            make_train_step(model, tx, {"num_points": 12544}, compute_dtype=cdt)
+        )
+
+        def fn(bt):
+            st, metrics = step(state, bt)
+            return metrics["loss_total"]
+
+        capture(fn, (batch,), args.outdir)
+        report(args.outdir, args.top)
+        return
     else:
         from __graft_entry__ import _flagship
 
