@@ -192,7 +192,8 @@ def bench_eval():
     from __graft_entry__ import _flagship
     from pairnet_tpu.models.heads.pairnet_inference import pairnet_postprocess
 
-    model = _flagship()
+    backbone = os.environ.get("BENCH_MODEL", "r50")  # r50 | swinb
+    model = _flagship(backbone=backbone)
     B, H, W = int(os.environ.get("BENCH_BATCH", "8")), 800, 1344
     img = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3), jnp.float32)
     variables = jax.jit(model.init)(
@@ -232,7 +233,7 @@ def bench_eval():
     print(
         json.dumps(
             {
-                "metric": "images_per_sec_per_chip_pairnet_r50_sgdet_e2e_1333x800",
+                "metric": "images_per_sec_per_chip_pairnet_%s_sgdet_e2e_1333x800" % backbone,
                 "value": round(img_per_s, 3),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / REFERENCE_GPU_IMG_PER_S, 3),
