@@ -92,6 +92,7 @@ def main():
 
     for impl, name in (
         (None, "1 layer, real kernel (auto v7)"),
+        ("pallas_v12", "1 layer, real kernel (v12 int8 fused)"),
         ("stub_dce", "1 layer, stub kernel, coords DCE'd"),
         ("stub_coords", "1 layer, stub kernel, coords computed"),
     ):
