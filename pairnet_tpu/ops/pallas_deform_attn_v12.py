@@ -51,6 +51,7 @@ from pairnet_tpu.ops.pallas_deform_attn_v10 import (
 )
 
 TQ = int(_os.environ.get("PAIRNET_DEFORM12_TQ", "256"))
+UNROLL = int(_os.environ.get("PAIRNET_DEFORM12_UNROLL", "2"))
 BLK = 128
 
 
@@ -102,38 +103,53 @@ def _kernel(
             )
             for j in range(ng)
         ]
+        # TWO block visits per dynamic-loop iteration: Mosaic's per-
+        # iteration loop overhead (scalar bound check + carried-tuple
+        # bookkeeping) measures comparable to the visit work itself at
+        # tight-offset geometry, so halving the trip count is nearly free
+        # throughput.  The odd extra visit (count rounded up to a pair)
+        # lands past every group's window, where all taps mask to zero —
+        # same in-bounds argument as v11's shared max-length loop.
         count = counts_ref[tile * L + lvl]
 
-        def blk_body(k, accs, taps=taps, lvl=lvl):
+        def visit(acc, j, k, taps, lvl):
+            b0 = jnp.minimum(
+                bases_ref[(tile * L + lvl) * ng + j] + k * BLK, max_b0
+            )
+            b0 = pl.multiple_of(b0, BLK)
+            vbt = v_ref[0, :, pl.ds(b0, BLK)]
+            idx_j, k00, k01, k10, k11 = taps[j]
+            rel = idx_j - b0
+            inb = (rel >= 0) & (rel < BLK)
+            lo = jnp.clip(rel, 0, BLK - 1)
+            g = jnp.take_along_axis(
+                vbt, jnp.broadcast_to(lo, (D, BLK)), axis=1
+            )
+            b00 = ((g << 24) >> 24).astype(jnp.float32)
+            b01 = ((g << 16) >> 24).astype(jnp.float32)
+            b10 = ((g << 8) >> 24).astype(jnp.float32)
+            b11 = (g >> 24).astype(jnp.float32)
+            return (
+                acc
+                + b00 * jnp.where(inb, k00, 0.0)
+                + b01 * jnp.where(inb, k01, 0.0)
+                + b10 * jnp.where(inb, k10, 0.0)
+                + b11 * jnp.where(inb, k11, 0.0)
+            )
+
+        def blk_body(k2, accs, taps=taps, lvl=lvl):
             out = []
             for j in range(ng):
-                b0 = jnp.minimum(
-                    bases_ref[(tile * L + lvl) * ng + j] + k * BLK, max_b0
-                )
-                b0 = pl.multiple_of(b0, BLK)
-                vbt = v_ref[0, :, pl.ds(b0, BLK)]
-                idx_j, k00, k01, k10, k11 = taps[j]
-                rel = idx_j - b0
-                inb = (rel >= 0) & (rel < BLK)
-                lo = jnp.clip(rel, 0, BLK - 1)
-                g = jnp.take_along_axis(
-                    vbt, jnp.broadcast_to(lo, (D, BLK)), axis=1
-                )
-                b00 = ((g << 24) >> 24).astype(jnp.float32)
-                b01 = ((g << 16) >> 24).astype(jnp.float32)
-                b10 = ((g << 8) >> 24).astype(jnp.float32)
-                b11 = (g >> 24).astype(jnp.float32)
-                out.append(
-                    accs[j]
-                    + b00 * jnp.where(inb, k00, 0.0)
-                    + b01 * jnp.where(inb, k01, 0.0)
-                    + b10 * jnp.where(inb, k10, 0.0)
-                    + b11 * jnp.where(inb, k11, 0.0)
-                )
+                acc = accs[j]
+                for u in range(UNROLL):
+                    acc = visit(acc, j, UNROLL * k2 + u, taps, lvl)
+                out.append(acc)
             return tuple(out)
 
         accs = tuple(jnp.zeros((D, BLK), jnp.float32) for _ in range(ng))
-        accs = jax.lax.fori_loop(0, count, blk_body, accs)
+        accs = jax.lax.fori_loop(
+            0, (count + UNROLL - 1) // UNROLL, blk_body, accs
+        )
 
         scale_row = scale_ref[0, lvl, :].reshape(1, D)  # D in lanes
         for j in range(ng):
