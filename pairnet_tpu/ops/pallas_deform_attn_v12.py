@@ -44,15 +44,64 @@ from pairnet_tpu.ops.pallas_deform_attn_v6 import (
     _ms_deform_attn_v6_bwd_impl,
     _round_up,
 )
-from pairnet_tpu.ops.pallas_deform_attn_v10 import (
-    _group_taps_quad,
-    _pack_quads,
-    _quantize_rows,
-)
+from pairnet_tpu.ops.pallas_deform_attn_v10 import _group_taps_quad
 
 TQ = int(_os.environ.get("PAIRNET_DEFORM12_TQ", "256"))
 UNROLL = int(_os.environ.get("PAIRNET_DEFORM12_UNROLL", "2"))
 BLK = 128
+
+
+def _qp_kernel(v_ref, scale_ref, out_ref, *, shapes, lvl_offs, s_pads):
+    """Fused int8 quantize + quad-pack of the concatenated value plane.
+
+    The XLA formulation (v10's ``_quantize_rows`` + ``_pack_quads``) builds
+    four full int32 plane copies through badly-tiled strided slice chains —
+    measured ~5.6 ms/layer at bench geometry, the single largest piece of
+    the encoder's non-kernel time.  Here the whole (D, S_pad) plane sits in
+    VMEM: one bf16 read, one int32 write, all shifts are in-register lane
+    moves.  Numerics are BIT-IDENTICAL to the XLA path: same f32 divide by
+    the same absmax/127 scale, same jnp.round/clip, same zero fill beyond
+    each level's S_pad slice (pad >= w+1, so cross-level shift pollution is
+    impossible).
+    """
+    for lvl, (_h, w) in enumerate(shapes):
+        off, sp = lvl_offs[lvl], s_pads[lvl]
+        vl = v_ref[0, :, off : off + sp].astype(jnp.float32)
+        scale = scale_ref[0, :, lvl : lvl + 1]  # (D, 1)
+        q = jnp.clip(jnp.round(vl / scale), -127, 127).astype(jnp.int32)
+        b = q & 0xFF
+        D = b.shape[0]
+        z = jnp.zeros((D, w + 1), jnp.int32)
+
+        def sh(n, b=b, z=z, sp=sp):
+            return jnp.concatenate([b[:, n:], z[:, :n]], axis=1)
+
+        out_ref[0, :, off : off + sp] = (
+            b | (sh(1) << 8) | (sh(w) << 16) | (sh(w + 1) << 24)
+        )
+
+
+def _quantize_pack_fused(vraw, scales_dl, shapes, lvl_offs, s_pads):
+    """(BH, D, S_pad_total) raw plane + (BH, D, L) scales -> packed i32."""
+    BH, D, S_pad = vraw.shape
+    kern = functools.partial(
+        _qp_kernel, shapes=shapes, lvl_offs=lvl_offs, s_pads=s_pads
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec((1, D, S_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, len(shapes)), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, D, S_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, D, S_pad), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(vraw, scales_dl)
 
 
 def _kernel(
@@ -238,19 +287,24 @@ def _ms_deform_attn_v12_impl(value, spatial_shapes, locs, weights):
         .reshape(B * H, D, S)
     )
 
-    planes, scales_l, lvl_offs = [], [], []
+    planes_raw, scales_l, lvl_offs, s_pads = [], [], [], []
     xs, ys, aws, bases_l, counts_l = [], [], [], [], []
     pos = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         S_l = h * w
         S_pad_l = _round_up(S_l + BLK, BLK)
         vl = jax.lax.dynamic_slice_in_dim(vT, offs[lvl], S_l, axis=2)
-        q8, scale = _quantize_rows(vl)
-        planes.append(
-            jnp.pad(_pack_quads(q8, w), ((0, 0), (0, 0), (0, S_pad_l - S_l)))
+        # scale via a cheap XLA reduce (fuses with the relayout producer);
+        # quantize+pack runs fused in _qp_kernel on the concatenated plane
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(vl.astype(jnp.float32)), axis=2, keepdims=True)
+            / 127.0,
+            1e-20,
         )
-        scales_l.append(scale.reshape(B * H, 1, D))
+        planes_raw.append(jnp.pad(vl, ((0, 0), (0, 0), (0, S_pad_l - S_l))))
+        scales_l.append(scale)
         lvl_offs.append(pos)
+        s_pads.append(S_pad_l)
         pos += S_pad_l
 
         x = locs[..., lvl, :, 0].astype(jnp.float32) * w - 0.5
@@ -270,8 +324,12 @@ def _ms_deform_attn_v12_impl(value, spatial_shapes, locs, weights):
         bases_l.append(bases)
         counts_l.append(jnp.max(nblk, axis=-1))  # (BH, nqt, 1)
 
-    vp = jnp.concatenate(planes, axis=2)  # (BH, D, S_pad_total)
-    scales = jnp.concatenate(scales_l, axis=1)  # (BH, L, D)
+    vraw = jnp.concatenate(planes_raw, axis=2)  # (BH, D, S_pad_total) raw
+    scales_dl = jnp.concatenate(scales_l, axis=2)  # (BH, D, L)
+    vp = _quantize_pack_fused(
+        vraw, scales_dl, tuple(spatial_shapes), tuple(lvl_offs), tuple(s_pads)
+    )
+    scales = scales_dl.transpose(0, 2, 1)  # (BH, L, D)
     xg = jnp.concatenate(xs, axis=1)  # (BH, L, n_groups, gp)
     yg = jnp.concatenate(ys, axis=1)
     ag = jnp.concatenate(aws, axis=1)
