@@ -289,32 +289,6 @@ class MSDeformAttention(nn.Module):
             bias_init=nn.initializers.zeros,
         )(query)
 
-        # flat-coords fast path (inference): hand the RAW projections to the
-        # fused kernel; softmax, pixel coords, grouping, and block windows
-        # all happen in-kernel on well-tiled layouts — the (B, Q, H, L, P,
-        # 2) tensors below never materialize.  Encoder-only (shared rank-2
-        # reference points, no sequence sharding); opt in via
-        # PAIRNET_DEFORM_IMPL=pallas_v13.
-        import os as _os
-
-        if (
-            _os.environ.get("PAIRNET_DEFORM_IMPL") == "pallas_v13"
-            and reference_points.shape[-1] == 2
-            and self.seq_axis is None
-        ):
-            from pairnet_tpu.ops.pallas_deform_attn_v13 import ms_deform_attn_flat
-
-            out = ms_deform_attn_flat(
-                v,
-                spatial_shapes,
-                offsets_raw,
-                attn_raw,
-                reference_points[:, :, 0, :],
-                swap_offset_xy=self.swap_offset_xy,
-            )
-            out = nn.Dense(C, name="output_proj")(out.astype(identity.dtype))
-            return identity + out
-
         offsets = offsets_raw.reshape(B, Q, H, L, P, 2)
         if self.swap_offset_xy:
             offsets = offsets[..., ::-1]

@@ -6,8 +6,8 @@ Deformable-DETR transformer). This module provides the TPU equivalent:
 
 * :func:`ms_deform_attn` — the mathematical core: fused multi-level bilinear
   gather + attention-weighted reduction. The default path is pure XLA
-  (gathers + lerp); a Pallas kernel can be slotted in via ``impl='pallas'``
-  once registered (see pairnet_tpu/ops/pallas/).
+  (gathers + lerp); on TPU the dispatcher auto-selects the Pallas kernels
+  (v6 f32 / v7 bf16; v12 for int8 inference via PAIRNET_DEFORM_IMPL).
 
 Semantics match the CUDA kernel: sampling location p in [0, 1] maps to pixel
 coordinate ``p * size - 0.5`` per level; out-of-range corners contribute zero.
@@ -182,29 +182,15 @@ def ms_deform_attn(
         impl = (
             "pallas_v7" if value.dtype == jnp.bfloat16 else "pallas_v6"
         )
-    if impl == "pallas" and impl not in _PALLAS_IMPL:
-        import pairnet_tpu.ops.pallas_deform_attn  # noqa: F401 - registers
+    # dispatchable Pallas kernels: v6 (f32-exact + Pallas bwd), v7 (packed-
+    # pair bf16), v12 (fused-level int8, inference). Superseded/negative
+    # generations were pruned round 4 — see docs/kernel_notes.md.
     if impl == "pallas_v6" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn_v6  # noqa: F401 - registers
     if impl == "pallas_v7" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn_v7  # noqa: F401 - registers
-    if impl == "pallas_v8" and impl not in _PALLAS_IMPL:
-        import pairnet_tpu.ops.pallas_deform_attn_v8  # noqa: F401 - registers
-    if impl == "pallas_v9" and impl not in _PALLAS_IMPL:
-        import pairnet_tpu.ops.pallas_deform_attn_v9  # noqa: F401 - registers
-    if impl == "pallas_v10" and impl not in _PALLAS_IMPL:
-        import pairnet_tpu.ops.pallas_deform_attn_v10  # noqa: F401 - registers
-    if impl == "pallas_v11" and impl not in _PALLAS_IMPL:
-        import pairnet_tpu.ops.pallas_deform_attn_v11  # noqa: F401 - registers
     if impl == "pallas_v12" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn_v12  # noqa: F401 - registers
-    if impl == "pallas_v13":
-        # the flat-coords v13 path lives in MSDeformAttention (it consumes
-        # RAW projection outputs, not materialized locs); classic-interface
-        # callers (box-reference decoders etc.) get the v12 kernel
-        impl = "pallas_v12"
-        if impl not in _PALLAS_IMPL:
-            import pairnet_tpu.ops.pallas_deform_attn_v12  # noqa: F401
     if impl in _PALLAS_IMPL:
         return _PALLAS_IMPL[impl](
             value, spatial_shapes, sampling_locations, attention_weights
@@ -212,6 +198,11 @@ def ms_deform_attn(
     if impl == "patch":
         return _ms_deform_attn_patch(
             value, spatial_shapes, sampling_locations, attention_weights
+        )
+    if impl != "rows":
+        raise ValueError(
+            f"unknown ms_deform_attn impl {impl!r}: expected 'patch', 'rows', "
+            "'pallas_v6', 'pallas_v7', 'pallas_v12', or a registered impl"
         )
     return jax.vmap(
         lambda v, l, w: _ms_deform_attn_single(v, spatial_shapes, l, w)

@@ -291,14 +291,3 @@ def _bwd(spatial_shapes, res, g):
 
 ms_deform_attn_pallas_v10.defvjp(_fwd, _bwd)
 
-
-def register():
-    from pairnet_tpu.ops.deform_attn import register_pallas_impl
-
-    register_pallas_impl(
-        "pallas_v10",
-        lambda v, s, l, w: ms_deform_attn_pallas_v10(v, s, l, w),
-    )
-
-
-register()

@@ -228,14 +228,3 @@ def _bwd(spatial_shapes, res, g):
 
 ms_deform_attn_pallas_v11.defvjp(_fwd, _bwd)
 
-
-def register():
-    from pairnet_tpu.ops.deform_attn import register_pallas_impl
-
-    register_pallas_impl(
-        "pallas_v11",
-        lambda v, s, l, w: ms_deform_attn_pallas_v11(v, s, l, w),
-    )
-
-
-register()

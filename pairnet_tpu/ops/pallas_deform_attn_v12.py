@@ -60,9 +60,11 @@ def _qp_kernel(v_ref, scale_ref, out_ref, *, shapes, lvl_offs, s_pads):
     the encoder's non-kernel time.  Here the whole (D, S_pad) plane sits in
     VMEM: one bf16 read, one int32 write, all shifts are in-register lane
     moves.  Numerics are BIT-IDENTICAL to the XLA path: same f32 divide by
-    the same absmax/127 scale, same jnp.round/clip, same zero fill beyond
-    each level's S_pad slice (pad >= w+1, so cross-level shift pollution is
-    impossible).
+    the same absmax/127 scale, same jnp.round/clip.  Cross-level pollution
+    is structurally impossible regardless of pad width — each level's slice
+    is quantized and packed independently and ``sh()`` zero-fills within the
+    slice; the zero pad (>= the max shift distance w+1) additionally
+    reproduces the XLA path's zero fill at each level's tail.
     """
     for lvl, (_h, w) in enumerate(shapes):
         off, sp = lvl_offs[lvl], s_pads[lvl]

@@ -75,14 +75,6 @@ SLOW_TIER = {
     "tests/test_pairnet_model.py::test_seg_losses_optional",
     "tests/test_detr4seg.py::test_detr4seg_forward_loss_postprocess",
     "tests/test_bbox_convert.py::test_full_tree_merges_into_tiny_head",
-    # superseded kernel generations (v1 soft-four-hot, v8, v9): production
-    # dispatch uses v6/v7/v12, whose parity tests stay in the default tier
-    "tests/test_pallas_deform.py::test_pallas_matches_rows_interpret",
-    "tests/test_pallas_deform.py::test_pallas_custom_vjp_grads_match_patch",
-    "tests/test_pallas_deform_v8.py::test_v8_matches_rows_on_bf16_values[False]",
-    "tests/test_pallas_deform_v8.py::test_v8_matches_rows_on_bf16_values[True]",
-    "tests/test_pallas_deform_v9.py::test_v8_matches_rows_on_bf16_values[False]",
-    "tests/test_pallas_deform_v9.py::test_v8_matches_rows_on_bf16_values[True]",
     "tests/test_swin_convert.py::test_swin_roundtrip_full_b",
 }
 

@@ -58,7 +58,7 @@ def main():
         jax.random.normal(jax.random.PRNGKey(5), (B, S, H, 3 * P)), axis=-1
     ).reshape(B, S, H, 3, P)
 
-    impls = os.environ.get("BENCH_IMPLS", "pallas_v7,pallas_v8").split(",")
+    impls = os.environ.get("BENCH_IMPLS", "pallas_v7,pallas_v12").split(",")
     for scale, tag in ((2.0, "tight ~2px"), (6.0, "wide ~6px")):
         offs = (
             jax.random.normal(jax.random.PRNGKey(4), (B, S, H, 3, P, 2)) * scale

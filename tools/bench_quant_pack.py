@@ -62,7 +62,6 @@ def main():
 
     def xla_path(vT):
         planes = []
-        pos = 0
         for lvl, (h, w) in enumerate(shapes):
             S_l = h * w
             S_pad_l = _round_up(S_l + BLK, BLK)
@@ -71,7 +70,6 @@ def main():
             planes.append(
                 jnp.pad(_pack_quads(q8, w), ((0, 0), (0, 0), (0, S_pad_l - S_l)))
             )
-            pos += S_pad_l
         return jnp.concatenate(planes, axis=2)
 
     def fused_path(vT):
