@@ -227,6 +227,25 @@ class PSGDataset:
         h, w = seg_ids.shape
         return np.zeros((0, h, w), bool), np.zeros((0,), np.int64), semantic
 
+    def load_pan_ids(self, idx: int) -> tuple[np.ndarray, dict]:
+        """Decode the panoptic PNG -> (seg_ids (H, W) int64, id->label map).
+
+        Pixels whose id is not in segments_info (e.g. the 0 background of
+        unlabeled regions) are VOID for PQ purposes (ref: psg.py:320-335
+        delegates to panopticapi, which treats id 0 as VOID).
+        """
+        from PIL import Image
+
+        d = self.data[idx]
+        pan = np.asarray(
+            Image.open(osp.join(self.seg_prefix, d.pan_seg_file_name)).convert("RGB")
+        )
+        seg_ids = rgb2id(pan).astype(np.int64)
+        id2label = {int(s["id"]): int(s["category_id"]) for s in d.segments_info}
+        labeled = np.isin(seg_ids, list(id2label))
+        seg_ids = np.where(labeled, seg_ids, -1)
+        return seg_ids, id2label
+
     # -- statistics ----------------------------------------------------------
     def get_freq_matrix(self) -> np.ndarray:
         n_obj = len(self.CLASSES)

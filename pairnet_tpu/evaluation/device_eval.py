@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("topks",))
+@functools.partial(jax.jit, static_argnames=("topks", "phrdet"))
 def device_eval_single(
     gt_labels,  # (G,) 1-based; 0 = padding
     gt_rels,  # (R, 3) [sub, obj, predicate_1based]; predicate 0 = padding
@@ -33,8 +33,12 @@ def device_eval_single(
     pred_masks,  # (M, H, W) bool/f32
     iou_thr: float = 0.5,
     topks: tuple = (20, 50, 100),
+    phrdet: bool = False,
 ):
-    """Returns (matched@k (len(topks), R) bool, rel_valid (R,))."""
+    """Returns (matched@k (len(topks), R) bool, rel_valid (R,)) — plus
+    phrdet-matched@k first when ``phrdet`` (union-region matching, ref:
+    sgg_metrics.py:241-252: the union mask of sub+obj must reach iou_thr
+    instead of both endpoints)."""
     G = gt_labels.shape[0]
     R = gt_rels.shape[0]
     K = pred_pairs.shape[0]
@@ -70,11 +74,145 @@ def device_eval_single(
     match = cls_match & (sub_iou >= iou_thr) & (obj_iou >= iou_thr)
     match = match & rel_valid[:, None]
 
-    outs = []
-    for k in topks:
-        kk = min(k, K)
-        outs.append(match[:, :kk].any(axis=1))
-    return jnp.stack(outs), rel_valid
+    def topk_any(m):
+        outs = []
+        for k in topks:
+            kk = min(k, K)
+            outs.append(m[:, :kk].any(axis=1))
+        return jnp.stack(outs)
+
+    if not phrdet:
+        return topk_any(match), rel_valid
+
+    # phrdet: one IoU of the union regions per (gt rel, pred pair)
+    gu = jnp.maximum(gm[sub_gt], gm[obj_gt])  # (R, HW) union masks
+    pu = jnp.maximum(pm[pred_pairs[:, 0]], pm[pred_pairs[:, 1]])  # (K, HW)
+    inter_u = jnp.dot(gu, pu.T, preferred_element_type=jnp.float32)
+    union_u = gu.sum(-1)[:, None] + pu.sum(-1)[None, :] - inter_u
+    iou_u = inter_u / jnp.maximum(union_u, 1e-9)  # (R, K)
+    match_phr = cls_match & (iou_u >= iou_thr) & rel_valid[:, None]
+    return topk_any(match), topk_any(match_phr), rel_valid
+
+
+class SgdetAccumulator:
+    """Host-side aggregation of per-image device match results into the
+    numpy oracle's FULL sgdet metric dict: R@K, mR@K, thing/stuff 4-group
+    recall and phrdet (ref: sgg_metrics.py:101-124, 241-252 — VERDICT r3
+    #6). All inputs are per-image O(R) arrays; no mask work happens here.
+    """
+
+    GROUPS = ("tt", "ts", "st", "ss")
+
+    def __init__(self, num_predicates: int, num_things: int,
+                 topks: tuple = (20, 50, 100)):
+        self.num_predicates = num_predicates
+        self.num_things = num_things
+        self.topks = topks
+        self.recalls = {k: [] for k in topks}
+        self.phr_recalls = {k: [] for k in topks}
+        self.mr_collect = {
+            k: [[] for _ in range(num_predicates + 1)] for k in topks
+        }
+        self.group_recall = [{k: [] for k in topks} for _ in range(4)]
+
+    def add(self, matched, matched_phr, rel_valid, gt_rels, gt_labels):
+        """matched/matched_phr (len(topks), R) bool; gt_rels (R, 3) with
+        0-padded predicates; gt_labels (G,) 1-based."""
+        matched = np.asarray(matched)
+        rv = np.asarray(rel_valid)
+        if not rv.any():
+            # the oracle skips relation-less images entirely
+            return
+        n_gt = int(rv.sum())
+        gt_rels = np.asarray(gt_rels)
+        gt_labels = np.asarray(gt_labels)
+        predicates = gt_rels[:, 2]
+        nt = self.num_things
+        sub_lab = gt_labels[np.clip(gt_rels[:, 0], 0, len(gt_labels) - 1)]
+        obj_lab = gt_labels[np.clip(gt_rels[:, 1], 0, len(gt_labels) - 1)]
+        grp = (sub_lab > nt).astype(int) * 2 + (obj_lab > nt).astype(int)
+        for ki, k in enumerate(self.topks):
+            hits = matched[ki] & rv
+            self.recalls[k].append(hits.sum() / n_gt)
+            for p in range(1, self.num_predicates + 1):
+                sel = rv & (predicates == p)
+                if sel.any():
+                    self.mr_collect[k][p].append(matched[ki][sel].mean())
+            for j in range(4):
+                sel = rv & (grp == j)
+                cnt = int(sel.sum())
+                if cnt > 0:
+                    self.group_recall[j][k].append(hits[sel].sum() / cnt)
+            if matched_phr is not None:
+                phr = np.asarray(matched_phr)
+                self.phr_recalls[k].append((phr[ki] & rv).sum() / n_gt)
+
+    def _bucket_stats(self):
+        """Fixed-shape (sum, count) arrays per metric bucket — the exact
+        sufficient statistics for every mean this accumulator reports, so
+        they are what crosses hosts in the multi-process gather."""
+        T = len(self.topks)
+        P = self.num_predicates
+        s = {
+            "rec": np.zeros((T, 2)),
+            "phr": np.zeros((T, 2)),
+            "mr": np.zeros((T, P + 1, 2)),
+            "grp": np.zeros((4, T, 2)),
+        }
+        for ki, k in enumerate(self.topks):
+            s["rec"][ki] = (np.sum(self.recalls[k]), len(self.recalls[k]))
+            s["phr"][ki] = (
+                np.sum(self.phr_recalls[k]), len(self.phr_recalls[k])
+            )
+            for p in range(1, P + 1):
+                v = self.mr_collect[k][p]
+                s["mr"][ki, p] = (np.sum(v), len(v))
+            for j in range(4):
+                v = self.group_recall[j][k]
+                s["grp"][j, ki] = (np.sum(v), len(v))
+        return s
+
+    def summarize(self, mode: str = "sgdet", gather: bool = False) -> dict:
+        """Metric dict from the accumulated stats.
+
+        ``gather=True`` merges stats across JAX processes first (counterpart
+        of multi_gpu_test's result collection, ref: tools/test.py:255-267):
+        each host evaluates a disjoint image shard; the per-bucket (sum,
+        count) pairs allgather-reduce exactly (every reported metric is a
+        mean of per-image scalars). Single-process: a no-op.
+        """
+        import jax
+
+        s = self._bucket_stats()
+        if gather and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            s = jax.tree_util.tree_map(
+                lambda x: np.asarray(
+                    multihost_utils.process_allgather(x)
+                ).sum(axis=0),
+                s,
+            )
+
+        def mean(pair):
+            return float(pair[0] / pair[1]) if pair[1] else 0.0
+
+        out = {}
+        for ki, k in enumerate(self.topks):
+            out[f"{mode}_recall_R@{k}"] = mean(s["rec"][ki])
+        for ki, k in enumerate(self.topks):
+            mr = sum(
+                mean(s["mr"][ki, p])
+                for p in range(1, self.num_predicates + 1)
+            )
+            out[f"{mode}_mean_recall_mR@{k}"] = mr / self.num_predicates
+        for j, name in enumerate(self.GROUPS):
+            for ki, k in enumerate(self.topks):
+                out[f"{mode}_group_{name}_R@{k}"] = mean(s["grp"][j, ki])
+        if s["phr"][:, 1].any():
+            for ki, k in enumerate(self.topks):
+                out[f"phrdet_recall_R@{k}"] = mean(s["phr"][ki])
+        return out
 
 
 def evaluate_device(
@@ -83,16 +221,17 @@ def evaluate_device(
     num_predicates: int,
     iou_thr: float = 0.5,
     topks: tuple = (20, 50, 100),
+    num_things: int = 80,
 ) -> dict:
-    """Dataset-level R@K and mR@K using the on-device matcher.
+    """Dataset-level sgdet metric dict using the on-device matcher.
 
     Entries carry the arrays of :func:`device_eval_single`; images may have
-    different mask resolutions (one compile per distinct shape).
+    different mask resolutions (one compile per distinct shape). Returns the
+    oracle's key set (``sgdet_recall_R@K`` etc.) plus legacy short aliases.
     """
-    recalls = {k: [] for k in topks}
-    mr_collect = {k: [[] for _ in range(num_predicates + 1)] for k in topks}
+    acc = SgdetAccumulator(num_predicates, num_things, topks)
     for gt, pred in zip(gts, preds):
-        matched, rel_valid = device_eval_single(
+        matched, matched_phr, rel_valid = device_eval_single(
             jnp.asarray(gt["labels"]),
             jnp.asarray(gt["rels"]),
             jnp.asarray(gt["masks"]),
@@ -102,24 +241,11 @@ def evaluate_device(
             jnp.asarray(pred["masks"]),
             iou_thr,
             topks,
+            phrdet=True,
         )
-        matched = np.asarray(matched)
-        rv = np.asarray(rel_valid)
-        n_gt = max(int(rv.sum()), 1)
-        predicates = np.asarray(gt["rels"])[:, 2]
-        for ki, k in enumerate(topks):
-            recalls[k].append(matched[ki][rv].sum() / n_gt)
-            for p in range(1, num_predicates + 1):
-                sel = rv & (predicates == p)
-                if sel.any():
-                    mr_collect[k][p].append(matched[ki][sel].mean())
-
-    out = {}
-    for k in topks:
-        out[f"R@{k}"] = float(np.mean(recalls[k])) if recalls[k] else 0.0
-        mr = 0.0
-        for p in range(1, num_predicates + 1):
-            vals = mr_collect[k][p]
-            mr += float(np.mean(vals)) if vals else 0.0
-        out[f"mR@{k}"] = mr / num_predicates
+        acc.add(matched, matched_phr, rel_valid, gt["rels"], gt["labels"])
+    out = acc.summarize("sgdet")
+    for k in topks:  # legacy short keys
+        out[f"R@{k}"] = out[f"sgdet_recall_R@{k}"]
+        out[f"mR@{k}"] = out[f"sgdet_mean_recall_mR@{k}"]
     return out

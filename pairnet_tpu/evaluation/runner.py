@@ -247,11 +247,16 @@ def evaluate_model_device(
     canvas mask upsampling -> jit recall matching (device_eval_single).
     Counterpart of tools/test.py:250-295 + dataset.evaluate; the numpy
     engine (evaluate_model) remains the oracle (--eval-engine numpy).
+    Returns the oracle's full sgdet key set: R@K, mR@K, thing/stuff
+    4-group recall, phrdet (VERDICT r3 #6).
     """
     import jax
     import jax.numpy as jnp
 
-    from pairnet_tpu.evaluation.device_eval import device_eval_single
+    from pairnet_tpu.evaluation.device_eval import (
+        SgdetAccumulator,
+        device_eval_single,
+    )
     from pairnet_tpu.models.heads.pairnet_inference import pairnet_postprocess
 
     if mode != "sgdet":
@@ -270,7 +275,7 @@ def evaluate_model_device(
     )
     match = jax.jit(
         lambda gl, gr, gm, pl, pp, pd, pm: device_eval_single(
-            gl, gr, gm, pl, pp, pd, pm, iou_thr, topks
+            gl, gr, gm, pl, pp, pd, pm, iou_thr, topks, phrdet=True
         )
     )
 
@@ -279,8 +284,7 @@ def evaluate_model_device(
     G_max = max(1, max(len(g.labels) for g in gts))
     R_max = max(1, max(len(g.rels) for g in gts))
 
-    recalls = {k: [] for k in topks}
-    mr_collect = {k: [[] for _ in range(num_predicates + 1)] for k in topks}
+    acc = SgdetAccumulator(num_predicates, num_things, topks)
     img_idx = 0
     for batch in loader:
         out = apply_fn(batch["image"])
@@ -310,32 +314,14 @@ def evaluate_model_device(
             grels = np.zeros((R_max, 3), np.int64)
             grels[: len(gt.rels)] = gt.rels
 
-            matched, rel_valid = match(
+            matched, matched_phr, rel_valid = match(
                 jnp.asarray(glabels), jnp.asarray(grels), jnp.asarray(gmask),
                 trip.labels, trip.rel_pairs, trip.r_dists, pm,
             )
-            matched = np.asarray(matched)
-            rv = np.asarray(rel_valid)
-            n_gt = max(int(rv.sum()), 1)
-            predicates = grels[:, 2]
-            for ki, k in enumerate(topks):
-                recalls[k].append(matched[ki][rv].sum() / n_gt)
-                for p in range(1, num_predicates + 1):
-                    sel = rv & (predicates == p)
-                    if sel.any():
-                        mr_collect[k][p].append(matched[ki][sel].mean())
-
-    metrics = {}
-    for k in topks:
-        metrics[f"{mode}_recall_R@{k}"] = (
-            float(np.mean(recalls[k])) if recalls[k] else 0.0
-        )
-        mr = 0.0
-        for p in range(1, num_predicates + 1):
-            vals = mr_collect[k][p]
-            mr += float(np.mean(vals)) if vals else 0.0
-        metrics[f"{mode}_mean_recall_mR@{k}"] = mr / num_predicates
-    return metrics
+            acc.add(matched, matched_phr, rel_valid, grels, glabels)
+    # multi-host: each process scored its disjoint shard; gather-reduce the
+    # sufficient statistics (single-process: no-op)
+    return acc.summarize(mode, gather=True)
 
 
 def triplets_to_protocol(pred, batch, b, mask_stride: int) -> SGPrediction:
@@ -435,6 +421,87 @@ def evaluate_model_with_postprocess(
         detection_method="bbox" if use_boxes else "pan_seg",
         num_things=num_things,
     )
+
+
+def evaluate_pq(
+    apply_fn,
+    postprocess_fn,
+    dataset,
+    pipe_cfg: PipelineConfig,
+    batch_size: int = 1,
+    num_classes: int = 133,
+    num_things: int = 80,
+) -> dict:
+    """Panoptic Quality over a split (counterpart of the reference's
+    ``--eval PQ`` flow, ref: pairnet/datasets/psg.py:285-335 +
+    tools/test.py:277-295, which delegates to mmdet CocoPanopticDataset /
+    panopticapi).
+
+    Works for any head whose postprocessor returns a ``pan_seg`` id map
+    (``m_id * INSTANCE_OFFSET + label``): PairNetHead, BaselineHead,
+    detr4seg, PSGTr*. The device map lives on the stride-``mask_stride``
+    padded canvas; the valid region is nearest-upsampled to the original
+    resolution before matching (the reference fuses at full resolution
+    after interpolating per-query logits — at IoU>0.5 matching the
+    nearest-vs-logit-interp boundary delta is sub-pixel in practice).
+    """
+    import jax
+
+    from pairnet_tpu.evaluation.panoptic_quality import (
+        pan_seg_to_ids,
+        pq_compute,
+    )
+
+    loader = Loader(dataset, pipe_cfg, batch_size, train=False, seed=0)
+    post = jax.jit(
+        lambda o, b: postprocess_fn(o, b, num_things=num_things),
+        static_argnums=1,
+    )
+    images = []
+    idx = 0
+    for batch in loader:
+        out = apply_fn(batch["image"])
+        out = {k: v for k, v in out.items()
+               if not isinstance(v, (list, tuple)) and k != "queries"}
+        for b in range(batch["image"].shape[0]):
+            if not batch["batch_valid"][b]:
+                continue
+            trip = post(out, b)
+            if not hasattr(trip, "pan_seg"):
+                raise ValueError(
+                    "PQ needs a panoptic postprocessor (head returned no "
+                    "pan_seg; box-only heads cannot be PQ-scored)"
+                )
+            rh, rw = (int(x) for x in batch["image_shape"][b])
+            oh, ow = (int(x) for x in batch["orig_shape"][b])
+            s = pipe_cfg.mask_stride
+            ch = max(1, int(np.ceil(rh / s)))
+            cw = max(1, int(np.ceil(rw / s)))
+            pan = np.asarray(trip.pan_seg)[:ch, :cw]
+            # nearest upsample of the id map to original resolution
+            yi = np.minimum((np.arange(oh) * ch) // oh, ch - 1)
+            xi = np.minimum((np.arange(ow) * cw) // ow, cw - 1)
+            pan_full = pan[yi][:, xi]
+            pred_ids, pred_map = pan_seg_to_ids(pan_full)
+            # ids fused from no-detection fill (label >= num_classes) are VOID
+            pred_map = {
+                i: l for i, l in pred_map.items() if l < num_classes
+            }
+            valid = np.isin(pred_ids, list(pred_map)) if pred_map else np.zeros(
+                pred_ids.shape, bool
+            )
+            pred_ids = np.where(valid, pred_ids, -1)
+            gt_ids, gt_map = dataset.load_pan_ids(idx)
+            images.append((gt_ids, gt_map, pred_ids, pred_map))
+            idx += 1
+    assert idx == len(dataset), (idx, len(dataset))
+    pq = pq_compute(images, num_classes=num_classes, num_things=num_things)
+    metrics = {}
+    for group, vals in pq.items():
+        for k in ("PQ", "SQ", "RQ"):
+            metrics[f"{group}_{k}"] = round(float(vals[k]), 4)
+        metrics[f"{group}_n"] = vals["n"]
+    return metrics
 
 
 def evaluate_twostage(

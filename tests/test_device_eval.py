@@ -50,17 +50,26 @@ def _random_case(rng, G=6, K=20, P=5, H=24, W=24):
 
 def test_device_matches_numpy_engine():
     rng = np.random.default_rng(0)
+    # num_things=3: labels are 1..5, so both thing (<=3) and stuff (>3)
+    # endpoints occur and the 4-group breakdown is non-trivial
     cases = [_random_case(rng) for _ in range(6)]
     gts = [c[0] for c in cases]
     preds = [c[1] for c in cases]
 
-    ref = sgg_evaluate(gts, preds, mode="sgdet", num_predicates=5)
+    ref = sgg_evaluate(
+        gts, preds, mode="sgdet", num_predicates=5, num_things=3
+    )
     dev = evaluate_device(
         [dict(labels=g.labels, rels=g.rels, masks=g.masks) for g in gts],
         [dict(labels=p.labels, rel_pair_idxes=p.rel_pair_idxes,
               rel_dists=p.rel_dists, masks=p.masks) for p in preds],
         num_predicates=5,
+        num_things=3,
     )
-    for k in (20, 50, 100):
-        assert abs(ref[f"sgdet_recall_R@{k}"] - dev[f"R@{k}"]) < 1e-6, k
-        assert abs(ref[f"sgdet_mean_recall_mR@{k}"] - dev[f"mR@{k}"]) < 1e-6, k
+    # FULL oracle key-set parity (VERDICT r3 #6): recall, mean recall,
+    # thing/stuff 4-group recall, phrdet
+    for key, val in ref.items():
+        assert key in dev, key
+        assert abs(val - dev[key]) < 1e-6, (key, val, dev[key])
+    for k in (20, 50, 100):  # legacy aliases kept
+        assert dev[f"R@{k}"] == dev[f"sgdet_recall_R@{k}"]

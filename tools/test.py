@@ -28,7 +28,9 @@ def parse_args():
     p.add_argument("checkpoint", nargs="?", help="work dir with ckpts/ (optional)")
     p.add_argument(
         "--eval", default="sgdet",
-        choices=["sgdet", "sgcls", "predcls", "pairdet"],
+        choices=["sgdet", "sgcls", "predcls", "pairdet", "PQ"],
+        help="PQ scores panoptic segmentation quality for any head with a "
+        "panoptic postprocessor (ref: tools/test.py:277-295 --eval PQ)",
     )
     p.add_argument("--out", help="dump metrics json here")
     p.add_argument(
@@ -167,15 +169,54 @@ def main():
                 model.apply(v, img),
             )
         )
-        apply_fn = lambda img: _fwd(
-            variables, jnp.asarray(img).astype(in_dtype)
-        )
+        # multi-device eval (counterpart of multi_gpu_test, ref:
+        # tools/test.py:255-267): shard the batch axis over the data mesh —
+        # XLA runs the forward data-parallel; per-image postprocess and the
+        # metric gather stay unchanged (outputs address the global batch)
+        # (multi-host runs keep per-host single-device forwards over disjoint
+        # image shards; the accumulator gathers stats across processes)
+        n_dev = jax.device_count()
+        if (
+            jax.process_count() == 1
+            and n_dev > 1
+            and args.batch_size % n_dev == 0
+        ):
+            from pairnet_tpu.parallel.mesh import batch_sharding, make_mesh
+
+            _sh = batch_sharding(make_mesh())
+            logging.info("eval sharded over %d devices", n_dev)
+            apply_fn = lambda img: _fwd(
+                variables,
+                jax.device_put(jnp.asarray(img).astype(in_dtype), _sh),
+            )
+        else:
+            apply_fn = lambda img: _fwd(
+                variables, jnp.asarray(img).astype(in_dtype)
+            )
 
     head_key = "relation_head" if "relation_head" in cfg.model else "bbox_head"
     head_type = cfg.model[head_key].type
 
     t0 = time.time()
-    if cfg.model.type == "SceneGraphTwoStage":
+    if args.eval == "PQ":
+        if cfg.model.type == "SceneGraphTwoStage":
+            raise SystemExit(
+                "PQ for the two-stage path scores its frozen detector; "
+                "evaluate the detector's own config instead"
+            )
+        from pairnet_tpu.evaluation.runner import evaluate_pq
+        from pairnet_tpu.train.dispatch import get_postprocess_fn
+
+        metrics = evaluate_pq(
+            apply_fn,
+            get_postprocess_fn(head_type),
+            dataset,
+            pipe_cfg,
+            batch_size=args.batch_size,
+            num_classes=cfg.num_object_classes,
+            num_things=cfg.evaluation.num_things,
+        )
+    elif cfg.model.type == "SceneGraphTwoStage":
         from pairnet_tpu.evaluation.runner import evaluate_twostage
 
         _fwd2 = jax.jit(lambda v, b: model.apply(v, b))
