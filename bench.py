@@ -59,13 +59,12 @@ def main():
         cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
         variables = jax.tree_util.tree_map(cast, variables)
         img = img.astype(dtype)
-        # fused-level per-group-window int8 kernel (v12) for bf16 inference:
-        # v11's windows + one fused 3-level kernel with in-kernel scale fold
-        # and bf16 output (24.5 -> 27.8 img/s e2e over v10 at bench
-        # geometry); numerics identical to bf16(v11) and bounded at the
-        # bf16-cast noise floor (tools/ab_kernel_fullgeom.py); training
-        # keeps the exact-backward v7/v6 dispatch
-        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v12")
+        # select-merge fused-level int8 kernel (v14) for bf16 inference:
+        # v12's quantization/windows with the byte extraction + weighting
+        # hoisted out of the block-visit loop (bit-identical to v12, ~6%
+        # faster kernel / +2% e2e); training keeps the exact-backward
+        # v7/v6 dispatch
+        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v14")
     fwd = jax.jit(lambda v, x: model.apply(v, x))
 
     # Timing methodology for the tunneled (axon) runtime, validated against
@@ -206,8 +205,8 @@ def bench_eval():
         cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
         variables = jax.tree_util.tree_map(cast, variables)
         img = img.astype(dtype)
-        # see main(): v11 per-group-window int8 gather for bf16 inference
-        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v12")
+        # see main(): select-merge int8 kernel (v14) for bf16 inference
+        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v14")
 
     def fwd_post(v, x):
         out = model.apply(v, x)

@@ -29,24 +29,31 @@ _STAGE_BLOCKS = {
 
 
 class Bottleneck(nn.Module):
+    """torchvision-style bottleneck; ``groups > 1`` + ``width`` turns it
+    into the ResNeXt block (grouped 3x3, widened inner channels)."""
+
     planes: int
     stride: int = 1
     downsample: bool = False
+    groups: int = 1
+    width: int | None = None  # inner channels; defaults to planes
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
+        width = self.width or self.planes
+        out = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(width, name="bn1")(out))
         out = nn.Conv(
-            self.planes,
+            width,
             (3, 3),
             strides=(self.stride, self.stride),
             padding=[(1, 1), (1, 1)],
             use_bias=False,
+            feature_group_count=self.groups,
             name="conv2",
         )(out)
-        out = nn.relu(FrozenBatchNorm(self.planes, name="bn2")(out))
+        out = nn.relu(FrozenBatchNorm(width, name="bn2")(out))
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
         if self.downsample:
@@ -96,6 +103,62 @@ class ResNet(nn.Module):
                     planes,
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return tuple(outs)
+
+
+@BACKBONES.register()
+class ResNeXt(nn.Module):
+    """ResNeXt backbone (grouped bottlenecks), NHWC.
+
+    Counterpart of mmdet's ResNeXt as configured by the reference's VG bbox
+    family (ref: configs/deformable_detr/od_rnext101_vg.py — depth 101,
+    groups=32, base_width=8, i.e. ResNeXt-101 32x8d). Inner block width =
+    planes * base_width / 64 * groups (torchvision formula); weights convert
+    from torchvision/mmdet checkpoints by the same pure transposition as
+    ResNet (grouped conv kernels keep the (kh, kw, in/groups, out) layout).
+    Returns the stages selected by ``out_indices`` at strides (4, 8, 16, 32).
+    """
+
+    depth: int = 101
+    groups: int = 32
+    base_width: int = 8
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    stem_width: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        blocks = _STAGE_BLOCKS[self.depth]
+        x = nn.Conv(
+            self.stem_width,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            name="conv1",
+        )(x)
+        x = nn.relu(FrozenBatchNorm(self.stem_width, name="bn1")(x))
+        x = jnp.pad(
+            x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf
+        )
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+
+        outs = []
+        planes = 64
+        for stage, n_blocks in enumerate(blocks):
+            stride = 1 if stage == 0 else 2
+            width = planes * self.base_width // 64 * self.groups
+            for b in range(n_blocks):
+                x = Bottleneck(
+                    planes,
+                    stride=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    groups=self.groups,
+                    width=width,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if stage in self.out_indices:
