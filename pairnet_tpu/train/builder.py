@@ -27,12 +27,25 @@ def build_dataset(cfg: Config, split: str):
     ds_type = d.pop("type", "PSGDataset")
     synthetic = d.pop("synthetic", False)
     if synthetic and not d.get("data_root"):
-        root = os.path.join("/tmp", "pairnet_tpu_synthetic")
+        # synthetic=True -> the default 8-image fixture; synthetic=dict(...)
+        # forwards generator options (num_images/height/width/...), cached
+        # under an option-keyed /tmp root
+        opts = dict(synthetic) if isinstance(synthetic, (dict, Config)) else {}
+        opts.setdefault("num_images", 8)
+        opts.setdefault("num_test", 3)
+        opts.setdefault("seed", 1)
+        tag = "_".join(f"{k}{opts[k]}" for k in sorted(opts))
+        root = os.path.join(
+            "/tmp",
+            "pairnet_tpu_synthetic"
+            if tag == "num_images8_num_test3_seed1"
+            else f"pairnet_tpu_synthetic_{tag}",
+        )
         if not os.path.exists(os.path.join(root, "psg.json")):
             from pairnet_tpu.data.synthetic import make_synthetic_psg
 
             os.makedirs(root, exist_ok=True)
-            make_synthetic_psg(root, num_images=8, num_test=3, seed=1)
+            make_synthetic_psg(root, **opts)
         d["data_root"] = root
     from pairnet_tpu.config.registry import DATASETS
     from pairnet_tpu.data import sg  # noqa: F401  (registers SG datasets)

@@ -4,7 +4,8 @@ VERDICT r2 #4/#5: the scored sgdet path must run on device (fusion +
 triplet ranking + canvas mask upsampling + jit recall matching) with the
 numpy engine kept as the oracle. This runs BOTH engines over the synthetic
 PSG fixture with the committed overfit checkpoint (work_dirs/tiny_ab2, the
-eval-quality fixture) and requires matching R@K. Tolerance covers the only
+eval-quality fixture, regenerable via tools/make_tiny_fixture.py — not
+tracked in git) and requires matching R@K. Tolerance covers the only
 implementation delta — host-PIL vs device bilinear mask upsampling at
 content boundaries.
 """
@@ -22,7 +23,8 @@ CKPT = os.path.join(REPO, "work_dirs", "tiny_ab2")
 
 @pytest.mark.skipif(
     not os.path.isdir(os.path.join(CKPT, "ckpts")),
-    reason="tiny_ab2 fixture checkpoint not present",
+    reason="tiny_ab2 fixture checkpoint not present — regenerate with "
+    "`python tools/make_tiny_fixture.py` (seeded ~1 min on TPU)",
 )
 def test_device_engine_matches_numpy_oracle():
     import orbax.checkpoint as ocp

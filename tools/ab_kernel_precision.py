@@ -62,7 +62,10 @@ def main():
     )
     step = mgr.latest_step()
     if step is None:
-        raise FileNotFoundError(f"no checkpoints under {args.work_dir}/ckpts")
+        raise FileNotFoundError(
+            f"no checkpoints under {args.work_dir}/ckpts — regenerate the "
+            "fixture with `python tools/make_tiny_fixture.py`"
+        )
     raw = mgr.restore(step, args=ocp.args.StandardRestore())
     variables = jax.tree_util.tree_map(jnp.asarray, raw["params"])
     print(f"restored step {step}; evaluating {len(dataset)} {args.split} images")
