@@ -14,11 +14,68 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from pairnet_tpu.config.registry import BACKBONES
 from pairnet_tpu.models.layers import FrozenBatchNorm
+
+
+class StemConv(nn.Module):
+    """7x7/2 stem conv, space-to-depth formulated — MEASURED NEGATIVE.
+
+    The classic TPU recipe (space-to-depth(2) to (H/2, W/2, 12) + the same
+    weights as a 4x4 stride-1 kernel; exact-products parity in
+    tests/test_stem_conv.py) was tried against the measured 4.5 ms stem at
+    800x1344 batch 4 — and made it 9.2 ms: the input relayout itself is a
+    3-channel-minor transpose that costs more than the conv it saves, i.e.
+    XLA's own conv layout assignment was already good. The backbones
+    therefore keep the plain ``nn.Conv`` stem; this module stays as the
+    documented experiment (param tree identical to nn.Conv, so it can be
+    re-tried cheaply if a fused relayout path appears).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, C, self.features),
+        )
+        kernel = kernel.astype(x.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        B, H, W, _ = x.shape
+        if H % 2 or W % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn
+            )
+        # y[p,q] = sum_{dy,dx} W[dy,dx] x[2p-3+dy, 2q-3+dx]; with u = 2U+e,
+        # dy = 2k+e-1 for k = U-(p-2) in [0,4): pad W one row/col at the
+        # front, then W2[k,l,(e,f,c)] = Wp[2k+e, 2l+f, c]
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k2 = (
+            kp.reshape(4, 2, 4, 2, C, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * C, self.features)
+        )
+        x2 = (
+            x.reshape(B, H // 2, 2, W // 2, 2, C)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, H // 2, W // 2, 4 * C)
+        )
+        dn2 = jax.lax.conv_dimension_numbers(
+            x2.shape, k2.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            x2, k2, (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn2
+        )
+
 
 _STAGE_BLOCKS = {
     26: (1, 1, 1, 1),  # minimal bottleneck variant (tests / smoke configs)

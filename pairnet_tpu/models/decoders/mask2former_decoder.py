@@ -78,6 +78,14 @@ class Mask2FormerDecoder(nn.Module):
     feedforward_channels: int = 2048
     out_channels: int = 256
     return_intermediate: bool = False
+    # run the per-layer prediction head (post_norm -> cls/mask embeds ->
+    # mask einsum -> resize -> sigmoid<0.5 threshold) in f32 even when the
+    # trunk is bf16: the attention mask is a DISCRETE threshold on the mask
+    # logits (ref: pairnet_head.py:247-258), so removing the head's own
+    # rounding sources (bf16 MLP intermediates and einsum operands) shrinks
+    # the set of near-zero logits that bf16 serving can flip. Costs ~1% of
+    # the forward (the f32 einsum); no effect on f32 runs.
+    f32_mask_head: bool = True
 
     def setup(self):
         self.query_feat = self.param(
@@ -105,6 +113,9 @@ class Mask2FormerDecoder(nn.Module):
 
     def forward_head(self, query, mask_features, attn_target_hw):
         """query (B, Q, C); mask_features (B, h4, w4, C)."""
+        if self.f32_mask_head:
+            query = query.astype(jnp.float32)
+            mask_features = mask_features.astype(jnp.float32)
         out = self.post_norm(query)
         cls_pred = self.cls_embed(out)
         mask_embed = self.mask_embed(out)

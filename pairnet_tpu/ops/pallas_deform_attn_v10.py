@@ -285,8 +285,11 @@ def _fwd(value, spatial_shapes, locs, weights):
 
 def _bwd(spatial_shapes, res, g):
     value, locs, weights = res
-    # v6's backward kernel works from the saved full-precision inputs
-    return _ms_deform_attn_v6_bwd_impl(value, spatial_shapes, locs, weights, g)
+    # per-group-window backward on the saved full-precision inputs
+    # (PAIRNET_DEFORM_BWD=v6 restores the tile-union kernel)
+    from pairnet_tpu.ops.pallas_deform_bwd2 import deform_attn_bwd
+
+    return deform_attn_bwd(value, spatial_shapes, locs, weights, g)
 
 
 ms_deform_attn_pallas_v10.defvjp(_fwd, _bwd)

@@ -29,7 +29,7 @@ if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--impls", default="patch,pallas_v6,pallas_v7,pallas_v12")
+    ap.add_argument("--impls", default="patch,pallas_v6,pallas_v7,pallas_v12,pallas_v14")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--out")
