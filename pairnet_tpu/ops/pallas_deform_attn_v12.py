@@ -84,7 +84,16 @@ def _qp_kernel(v_ref, scale_ref, out_ref, *, shapes, lvl_offs, s_pads):
 
 
 def _quantize_pack_fused(vraw, scales_dl, shapes, lvl_offs, s_pads):
-    """(BH, D, S_pad_total) raw plane + (BH, D, L) scales -> packed i32."""
+    """(BH, D, S_pad_total) raw plane + (BH, D, L) scales -> packed i32.
+
+    VMEM headroom: each grid cell stages the full (1, D, S_pad) plane
+    (bf16 in + i32 out + f32 temporaries) — a few MB at bench geometry,
+    but at very large multi-scale geometries (S_pad in the 100k+ range)
+    the working set can exceed per-core VMEM and the kernel fails to
+    COMPILE (no silent spill). If such geometries come into scope, add a
+    per-level (or per-S-block within a level) grid axis: levels are
+    already packed independently, so the split is semantics-free.
+    """
     BH, D, S_pad = vraw.shape
     kern = functools.partial(
         _qp_kernel, shapes=shapes, lvl_offs=lvl_offs, s_pads=s_pads
