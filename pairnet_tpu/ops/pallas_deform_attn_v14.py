@@ -92,24 +92,28 @@ def _kernel(
         )
         idx_all = idx_all + lvl_offs[lvl]
         count = counts_ref[tile * L + lvl]
+        # every visited b0 is BLK-aligned, so the in-block offset (low 7
+        # bits) and block id (high bits) are VISIT-INVARIANT: hoist them out
+        # of the loop. idx >= 0 always, so idx >> 7 == b0 >> 7 is exactly
+        # the old (idx - b0) in [0, BLK) test.
+        lo_all = idx_all & (BLK - 1)
+        hi_all = idx_all >> 7
 
-        # visit = gather + select-merge only; a window's blocks are disjoint
-        # and cover every tap, so each tap's packed word is selected exactly
-        # once (the odd UNROLL-rounding visit lands past the window or on a
-        # zero-pad block — same in-bounds argument as v11/v12)
-        def visit(graw, j, k, idx_all=idx_all, lvl=lvl):
+        # visit = one compare + gather + select-merge; a window's blocks are
+        # disjoint and cover every tap, so each tap's packed word is selected
+        # exactly once (the odd UNROLL-rounding visit lands past the window
+        # or on a zero-pad block — same in-bounds argument as v11/v12)
+        def visit(graw, j, k, lo_all=lo_all, hi_all=hi_all, lvl=lvl):
             b0 = jnp.minimum(
                 bases_ref[(tile * L + lvl) * ng + j] + k * BLK, max_b0
             )
             b0 = pl.multiple_of(b0, BLK)
             vbt = v_ref[0, :, pl.ds(b0, BLK)]
-            rel = idx_all[j : j + 1] - b0
-            # rel in [0, BLK) <=> no bits above the low 7; out-of-block taps
-            # gather a lane-wrapped garbage word that the select drops
-            inb = (rel & ~(BLK - 1)) == 0
-            lo = rel & (BLK - 1)
+            # out-of-block taps gather a lane-wrapped garbage word that the
+            # select drops
+            inb = hi_all[j : j + 1] == (b0 >> 7)
             g = jnp.take_along_axis(
-                vbt, jnp.broadcast_to(lo, (D, BLK)), axis=1
+                vbt, jnp.broadcast_to(lo_all[j : j + 1], (D, BLK)), axis=1
             )
             return jnp.where(inb, g, graw)
 
