@@ -16,6 +16,7 @@ pairnet/models/relation_heads/pairnet_head.py:216-320):
 
 from __future__ import annotations
 
+import os as _os
 from typing import Sequence
 
 import jax
@@ -24,6 +25,10 @@ from flax import linen as nn
 
 from pairnet_tpu.models.layers import FFN, MLP, MultiheadAttention
 from pairnet_tpu.models.necks.pixel_decoder import bilinear_resize
+
+# resize-then-contract attention masks (see Mask2FormerDecoder.attn_mask_small);
+# PAIRNET_FAST_MASKS=0 restores the reference full-resolution route for A/B
+_FAST_MASKS = _os.environ.get("PAIRNET_FAST_MASKS", "1") != "0"
 
 
 class DecoderLayer(nn.Module):
@@ -129,6 +134,29 @@ class Mask2FormerDecoder(nn.Module):
         attn_mask = jax.lax.stop_gradient(jax.nn.sigmoid(am) < 0.5)
         return cls_pred, mask_pred, attn_mask
 
+    def attn_mask_small(self, query, mask_features_small):
+        """Attention mask via the resize-then-contract route.
+
+        Bilinear resize is LINEAR in its input, so it commutes with the
+        channel contraction: resize(embed . mf) == embed . resize(mf).
+        Resizing the (C=256-channel) mask features ONCE per level and
+        contracting at the attention resolution replaces the reference's
+        per-layer full-resolution (B, Q, h4, w4) einsum + downscale
+        (ref pairnet_head.py:247-258) with a ~10x smaller einsum — same
+        operator up to f32 reassociation. Used when the intermediate
+        full-resolution mask logits are not consumed (serving); training
+        with per-layer mask losses keeps the reference route.
+        """
+        if self.f32_mask_head:
+            query = query.astype(jnp.float32)
+        out = self.post_norm(query)
+        mask_embed = self.mask_embed(out)
+        am = jnp.einsum(
+            "bqc,bsc->bqs", mask_embed, mask_features_small,
+            preferred_element_type=jnp.float32,
+        )  # (B, Q, h*w)
+        return jax.lax.stop_gradient(jax.nn.sigmoid(am) < 0.5)
+
     def __call__(self, multi_scale_feats: Sequence[jnp.ndarray], mask_features, pos_encodings):
         """multi_scale_feats: low->high res (B, h, w, C) x3; pos_encodings same shapes."""
         B = mask_features.shape[0]
@@ -146,9 +174,22 @@ class Mask2FormerDecoder(nn.Module):
         )
         query_pos = self.query_embed[None]
 
-        cls_pred, mask_pred, attn_mask = self.forward_head(
-            query, mask_features, shapes[0]
-        )
+        fast_masks = not self.return_intermediate and _FAST_MASKS
+        if fast_masks:
+            # resize-then-contract (see attn_mask_small): stage the mask
+            # features once per attention resolution
+            mf = mask_features
+            if self.f32_mask_head:
+                mf = mf.astype(jnp.float32)
+            mf_small = [
+                bilinear_resize(mf, hw).reshape(B, hw[0] * hw[1], -1)
+                for hw in shapes
+            ]
+            attn_mask = self.attn_mask_small(query, mf_small[0])
+        else:
+            cls_pred, mask_pred, attn_mask = self.forward_head(
+                query, mask_features, shapes[0]
+            )
         intermediates = []
         query_list = []
         for i, layer in enumerate(self.layers):
@@ -163,12 +204,24 @@ class Mask2FormerDecoder(nn.Module):
                 memory_pos[lvl],
                 attn_mask[:, None, :, :],  # broadcast over heads
             )
-            cls_pred, mask_pred, attn_mask = self.forward_head(
-                query, mask_features, shapes[(i + 1) % self.num_feat_levels]
-            )
+            if fast_masks:
+                if i + 1 < self.num_layers:
+                    attn_mask = self.attn_mask_small(
+                        query, mf_small[(i + 1) % self.num_feat_levels]
+                    )
+            else:
+                cls_pred, mask_pred, attn_mask = self.forward_head(
+                    query, mask_features, shapes[(i + 1) % self.num_feat_levels]
+                )
             query_list.append(query)
             if self.return_intermediate:
                 intermediates.append((cls_pred, mask_pred))
+        if fast_masks:
+            # the final full-resolution logits are the model output; only
+            # this one einsum runs at (h4, w4)
+            cls_pred, mask_pred, _ = self.forward_head(
+                query, mask_features, (1, 1)
+            )
 
         return {
             "cls": cls_pred,

@@ -193,6 +193,8 @@ def ms_deform_attn(
         import pairnet_tpu.ops.pallas_deform_attn_v12  # noqa: F401 - registers
     if impl == "pallas_v14" and impl not in _PALLAS_IMPL:
         import pairnet_tpu.ops.pallas_deform_attn_v14  # noqa: F401 - registers
+    if impl == "pallas_v16" and impl not in _PALLAS_IMPL:
+        import pairnet_tpu.ops.pallas_deform_attn_v16  # noqa: F401 - registers
     if impl in _PALLAS_IMPL:
         return _PALLAS_IMPL[impl](
             value, spatial_shapes, sampling_locations, attention_weights
@@ -204,8 +206,8 @@ def ms_deform_attn(
     if impl != "rows":
         raise ValueError(
             f"unknown ms_deform_attn impl {impl!r}: expected 'patch', 'rows', "
-            "'pallas_v6', 'pallas_v7', 'pallas_v12', 'pallas_v14', or a "
-            "registered impl"
+            "'pallas_v6', 'pallas_v7', 'pallas_v12', 'pallas_v14', "
+            "'pallas_v16', or a registered impl"
         )
     return jax.vmap(
         lambda v, l, w: _ms_deform_attn_single(v, spatial_shapes, l, w)

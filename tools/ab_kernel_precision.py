@@ -85,16 +85,17 @@ def main():
             iou_thr=cfg.evaluation.get("iou_thr", 0.5),
         )
 
-    keys = sorted(k for k in results["patch"] if "recall" in k)
+    base = IMPLS[0]
+    keys = sorted(k for k in results[base] if "recall" in k)
     for k in keys:
         print(
             f"{k:30s} "
             + " ".join(f"{i}={results[i][k]:.4f}" for i in IMPLS)
         )
     dmax = max(
-        abs(results["patch"][k] - results[i][k]) for k in keys for i in IMPLS
+        abs(results[base][k] - results[i][k]) for k in keys for i in IMPLS
     )
-    print("max |R@K delta| vs exact patch:", dmax)
+    print(f"max |R@K delta| vs {base}:", dmax)
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"results": results, "max_delta": dmax}, f, indent=2)
