@@ -515,6 +515,7 @@ def evaluate_twostage(
     num_things: int = 80,
     iou_thr: float = 0.5,
     detector_apply=None,
+    eval_engine: str = "numpy",
 ) -> dict:
     """predcls/sgcls/sgdet evaluation for the two-stage relation heads.
 
@@ -525,6 +526,11 @@ def evaluate_twostage(
     57-142). All ordered pairs are scored and ranked by the PostProcessor
     triplet score. ``apply_fn(batch) -> outputs`` must accept the two-stage
     batch contract.
+
+    ``eval_engine="device"`` (predcls/sgcls only) scores the collected
+    predictions with the jit matcher (device_eval_twostage_single) instead
+    of the per-image numpy oracle — same key set incl. the SGPairAccuracy /
+    SGObjectIOU twins, parity-tested in tests/test_device_eval.py.
     """
     from pairnet_tpu.data.pipeline import to_twostage_batch
     from pairnet_tpu.models.heads.twostage.core import all_test_pairs
@@ -595,7 +601,79 @@ def evaluate_twostage(
                 )
             )
     assert len(gts) == len(preds)
-    return sgg_evaluate(
+    if mode != "sgdet":
+        # predcls/sgcls ground in the GT objects: the prediction's regions
+        # ARE the GT masks (ref sg_panoptic_fpn.py:383-391 passes the GT
+        # proposals through); predcls additionally substitutes GT labels
+        from dataclasses import replace as _dc_replace
+
+        preds = [
+            _dc_replace(
+                p,
+                masks=gt.masks,
+                labels=gt.labels if mode == "predcls" else p.labels,
+            )
+            for p, gt in zip(preds, gts)
+        ]
+    if eval_engine == "device":
+        if mode == "sgdet":
+            raise ValueError(
+                "device engine for two-stage sgdet: use evaluate_model_device"
+            )
+        return _twostage_device_metrics(
+            gts, preds, mode, num_predicates, num_things, iou_thr
+        )
+    out = sgg_evaluate(
         gts, preds, mode=mode, num_predicates=num_predicates,
         iou_thr=iou_thr, detection_method="pan_seg", num_things=num_things,
     )
+    if mode != "sgdet":
+        # SGPairAccuracy / SGObjectIOU run for the GT-grounded protocols
+        # (ref sgg_metrics.py:537-667, 942-1086)
+        from pairnet_tpu.evaluation.sgg_eval import (
+            sg_object_iou,
+            sg_pair_accuracy,
+        )
+
+        out.update(
+            sg_pair_accuracy(gts, preds, num_things=num_things,
+                             iou_thr=iou_thr)
+        )
+        out.update(sg_object_iou(gts, preds, iou_thr=iou_thr))
+    return out
+
+
+def _twostage_device_metrics(
+    gts, preds, mode, num_predicates, num_things, iou_thr,
+    topks=(20, 50, 100),
+):
+    """Jit-matcher scoring of GT-grounded predcls/sgcls predictions."""
+    import jax.numpy as jnp
+
+    from pairnet_tpu.evaluation.device_eval import (
+        SgdetAccumulator,
+        device_eval_twostage_single,
+    )
+
+    acc = SgdetAccumulator(num_predicates, num_things, topks, twostage=True)
+    for gt, pred in zip(gts, preds):
+        if len(gt.rels) == 0:
+            continue
+        matched, matched_pair, rel_valid, best_sub, best_obj, has_cand = (
+            device_eval_twostage_single(
+                jnp.asarray(gt.labels),
+                jnp.asarray(gt.rels),
+                jnp.asarray(gt.masks),
+                jnp.asarray(pred.labels),
+                jnp.asarray(pred.rel_pair_idxes),
+                jnp.asarray(pred.rel_dists),
+                jnp.asarray(pred.masks),
+                iou_thr,
+                topks,
+            )
+        )
+        acc.add(matched, None, rel_valid, gt.rels, gt.labels)
+        acc.add_twostage(
+            matched_pair, best_sub, best_obj, has_cand, rel_valid, iou_thr
+        )
+    return acc.summarize(mode)

@@ -6,14 +6,18 @@ einsum + logit downscale (ref pairnet/models/relation_heads/pairnet_head.py:
 features, so ``resize(embed . mf) == embed . resize(mf)`` exactly in real
 arithmetic — the two routes may differ only by f32 reassociation.  This
 test drives the decoder end-to-end both ways and requires identical final
-outputs (the boolean attention masks must match bit-for-bit at every layer
-for that to hold, so it transitively checks the thresholded masks too).
+outputs.  That only holds if every thresholded boolean attention-mask bit
+agrees, so the test first PROVES the fixture cannot flip a bit: at every
+consumed mask it computes both routes' logits, bounds their difference,
+and asserts the reference logits keep a margin from the sigmoid<0.5
+decision boundary that is orders of magnitude wider than that difference
+(ADVICE r4: a near-boundary logit could otherwise flake on a different
+backend/XLA version).
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from pairnet_tpu.models.decoders import mask2former_decoder as m2f
 
@@ -42,14 +46,71 @@ def _build():
     return dec, params, feats, mf, pos
 
 
-@pytest.mark.parametrize("fast", [False, True])
-def test_fast_masks_parity(monkeypatch, fast):
+def _logits_ref(dec, params, query, mf, hw):
+    """Reference-route attention-mask logits (forward_head without the
+    threshold): full-resolution einsum, then bilinear downscale."""
+
+    def run(mdl, q, m):
+        out = mdl.post_norm(q)
+        me = mdl.mask_embed(out)
+        mp = jnp.einsum(
+            "bqc,bhwc->bqhw", me, m, preferred_element_type=jnp.float32
+        )
+        am = jnp.transpose(mp, (0, 2, 3, 1))
+        am = m2f.bilinear_resize(am, hw)
+        return am.reshape(am.shape[0], -1, am.shape[-1]).transpose(0, 2, 1)
+
+    return dec.apply(params, query, mf, method=run)
+
+
+def _logits_fast(dec, params, query, mf, hw):
+    """Fast-route logits (attn_mask_small without the threshold):
+    resize-then-contract."""
+
+    def run(mdl, q, m):
+        small = m2f.bilinear_resize(m, hw).reshape(
+            m.shape[0], hw[0] * hw[1], -1
+        )
+        out = mdl.post_norm(q)
+        me = mdl.mask_embed(out)
+        return jnp.einsum(
+            "bqc,bsc->bqs", me, small, preferred_element_type=jnp.float32
+        )
+
+    return dec.apply(params, query, mf, method=run)
+
+
+def test_fast_masks_parity(monkeypatch):
     dec, params, feats, mf, pos = _build()
-    monkeypatch.setattr(m2f, "_FAST_MASKS", fast)
-    out = dec.apply(params, feats, mf, pos)
-    # reference route is the pinned oracle; compare the fast route to it
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+
     monkeypatch.setattr(m2f, "_FAST_MASKS", False)
     ref = dec.apply(params, feats, mf, pos)
+    monkeypatch.setattr(m2f, "_FAST_MASKS", True)
+    out = dec.apply(params, feats, mf, pos)
+
+    # Guard before asserting parity: the boolean masks consumed at layer i
+    # threshold the logits of the query AFTER layer i-1 (initial broadcast
+    # query for layer 0).  By induction identical booleans -> identical
+    # layer inputs -> bit-identical queries, so the reference run's query
+    # history supplies every consumed query for BOTH routes.
+    q0 = jnp.broadcast_to(
+        params["params"]["query_feat"][None],
+        (mf.shape[0], dec.num_queries, dec.embed_dims),
+    )
+    queries = [q0] + [ref["query_history"][i] for i in range(dec.num_layers - 1)]
+    route_gap, margin = 0.0, np.inf
+    for i, q in enumerate(queries):
+        hw = shapes[i % len(shapes)]
+        lr = np.asarray(_logits_ref(dec, params, q, mf, hw))
+        lf = np.asarray(_logits_fast(dec, params, q, mf, hw))
+        route_gap = max(route_gap, np.abs(lr - lf).max())
+        margin = min(margin, np.abs(lr).min())
+    # routes agree to reassociation noise AND the fixture keeps every logit
+    # far enough from the decision boundary that no backend can flip a bit
+    assert route_gap < 1e-4, route_gap
+    assert margin > 100 * max(route_gap, 1e-6), (margin, route_gap)
+
     np.testing.assert_allclose(
         np.asarray(out["cls"]), np.asarray(ref["cls"]), rtol=0, atol=2e-5
     )

@@ -297,6 +297,10 @@ def main():
             num_things=cfg.evaluation.num_things,
             iou_thr=cfg.evaluation.get("iou_thr", 0.5),
             detector_apply=detector_apply,
+            eval_engine=(
+                args.eval_engine if args.eval in ("predcls", "sgcls")
+                else "numpy"
+            ),
         )
     elif head_type != "PairNetHead":
         from pairnet_tpu.evaluation.runner import evaluate_model_with_postprocess
