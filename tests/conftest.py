@@ -78,6 +78,16 @@ SLOW_TIER = {
     "tests/test_swin_convert.py::test_swin_roundtrip_full_b",
 }
 
+# Whole modules in the slow tier. v10/v11 are NOT dispatchable kernels
+# (ops/deform_attn.py raises on them) — they are retained in-tree only as
+# parity-chain anchors (v12 -> v11 -> v10 -> dequantized-rows); the chain
+# link that guards shipping code (v12 == bf16(v11)) stays in the default
+# tier via test_pallas_deform_v12.py (VERDICT r4 weak #4).
+SLOW_TIER_MODULES = (
+    "tests/test_pallas_deform_v10.py",
+    "tests/test_pallas_deform_v11.py",
+)
+
 
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("PAIRNET_FULL_SUITE"):
@@ -86,5 +96,5 @@ def pytest_collection_modifyitems(config, items):
         reason="slow tier — set PAIRNET_FULL_SUITE=1 to run"
     )
     for item in items:
-        if item.nodeid in SLOW_TIER:
+        if item.nodeid in SLOW_TIER or item.nodeid.startswith(SLOW_TIER_MODULES):
             item.add_marker(mark)

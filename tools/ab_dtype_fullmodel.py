@@ -5,8 +5,9 @@ VERDICT r3 #2: the headline bench runs bf16 + the int8 v12 kernel, but
 kernel-choice A/Bs (tools/ab_kernel_precision.py) only bound kernel
 numerics at FIXED bf16 inputs. This tool bounds the thing that actually
 matters for serving: the R@K / mR@K delta between the f32 oracle model and
-the full bf16 serving configuration (bf16 params + activations + v12
-kernel), on a checkpoint with PRODUCTION widths (embed 256 — the embed-32
+the full bf16 serving configuration (bf16 params + activations + the
+``--impl`` kernel, default the v14 serving kernel; pass ``pallas_v16`` to
+bound the int4 path), on a checkpoint with PRODUCTION widths (embed 256 — the embed-32
 tiny fixture exaggerates threshold flips because every query memorizes one
 output).
 
@@ -43,6 +44,11 @@ def main():
     ap.add_argument("config", nargs="?", default="configs/pairnet/fulldim_synthetic.py")
     ap.add_argument("work_dir", nargs="?", default="work_dirs/fulldim_fixture")
     ap.add_argument("--split", default="train", choices=["train", "test"])
+    ap.add_argument(
+        "--impl", default="pallas_v14",
+        help="deform-attn kernel for the bf16 serving config (the f32 "
+        "oracle always runs the exact default dispatch)",
+    )
     ap.add_argument("--out")
     args = ap.parse_args()
 
@@ -85,7 +91,7 @@ def main():
                 else t,
                 params_f32,
             )
-            os.environ["PAIRNET_DEFORM_IMPL"] = "pallas_v12"
+            os.environ["PAIRNET_DEFORM_IMPL"] = args.impl
             in_dtype = jnp.bfloat16
         else:
             variables = params_f32

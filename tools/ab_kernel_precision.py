@@ -27,7 +27,7 @@ if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
 
 IMPLS = tuple(
     os.environ.get(
-        "AB_IMPLS", "patch,pallas_v6,pallas_v7,pallas_v12,pallas_v14"
+        "AB_IMPLS", "patch,pallas_v6,pallas_v7,pallas_v12,pallas_v14,pallas_v16"
     ).split(",")
 )
 

@@ -26,6 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--model", default="r50", choices=["r50", "swinb"])
     ap.add_argument("--iters", type=int, default=6)
     args = ap.parse_args()
 
@@ -34,7 +35,7 @@ def main():
 
     from __graft_entry__ import _flagship
 
-    model = _flagship()
+    model = _flagship(backbone=args.model)
     head = model.bbox_head
     B, H, W = args.batch, 800, 1344
     img = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3), jnp.float32)
