@@ -43,7 +43,8 @@ def main():
 
     backbone = os.environ.get("BENCH_MODEL", "r50")  # r50 | swinb
     model = _flagship(backbone=backbone)
-    B, H, W = int(os.environ.get("BENCH_BATCH", "8")), 800, 1344
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    H, W = map(int, os.environ.get("BENCH_HW", "800x1344").split("x"))
     # random (not constant) input: the tunneled runtime can elide repeated
     # identical executions, producing fantasy numbers
     img = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3), jnp.float32)
@@ -59,12 +60,13 @@ def main():
         cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
         variables = jax.tree_util.tree_map(cast, variables)
         img = img.astype(dtype)
-        # select-merge fused-level int8 kernel (v14) for bf16 inference:
-        # v12's quantization/windows with the byte extraction + weighting
-        # hoisted out of the block-visit loop (bit-identical to v12, ~6%
-        # faster kernel / +2% e2e); training keeps the exact-backward
-        # v7/v6 dispatch
-        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v14")
+        # int4 pair-channel fused-level kernel (v16) for bf16 inference:
+        # v14's select-merge windows with the 2x2 bilinear footprint of
+        # TWO channels nibble-packed per int32 lane — half the per-visit
+        # gather/select/carry traffic (-12% op, +6% e2e over v14; R@K
+        # delta vs v14 within fixture noise, docs/ab_dtype_fulldim_v16.json);
+        # training keeps the exact-backward v7/v6 dispatch
+        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v16")
     fwd = jax.jit(lambda v, x: model.apply(v, x))
 
     # Timing methodology for the tunneled (axon) runtime, validated against
@@ -117,7 +119,8 @@ def bench_train():
     from pairnet_tpu.train.trainer import TrainState, make_train_step
 
     model = _flagship()
-    B, H, W = int(os.environ.get("BENCH_BATCH", "4")), 800, 1344
+    B = int(os.environ.get("BENCH_BATCH", "4"))
+    H, W = map(int, os.environ.get("BENCH_HW", "800x1344").split("x"))
     G, R = 24, 40
     rng = np.random.default_rng(0)
     batch = {
@@ -193,7 +196,8 @@ def bench_eval():
 
     backbone = os.environ.get("BENCH_MODEL", "r50")  # r50 | swinb
     model = _flagship(backbone=backbone)
-    B, H, W = int(os.environ.get("BENCH_BATCH", "8")), 800, 1344
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    H, W = map(int, os.environ.get("BENCH_HW", "800x1344").split("x"))
     img = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3), jnp.float32)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
@@ -205,8 +209,8 @@ def bench_eval():
         cast = lambda t: t.astype(dtype) if t.dtype == jnp.float32 else t
         variables = jax.tree_util.tree_map(cast, variables)
         img = img.astype(dtype)
-        # see main(): select-merge int8 kernel (v14) for bf16 inference
-        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v14")
+        # see main(): int4 pair-channel kernel (v16) for bf16 inference
+        os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v16")
 
     def fwd_post(v, x):
         out = model.apply(v, x)

@@ -157,7 +157,7 @@ def main():
             )
             variables = jax.tree_util.tree_map(cast, variables)
             if jax.default_backend() == "tpu":
-                os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v14")
+                os.environ.setdefault("PAIRNET_DEFORM_IMPL", "pallas_v16")
         in_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
         # variables as jit ARGUMENTS, not closure constants: baking the
         # weights into the HLO triggers an XLA:TPU fusion-emitter crash
