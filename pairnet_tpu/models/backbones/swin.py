@@ -51,9 +51,16 @@ class WindowAttention(nn.Module):
             return t.reshape(*t.shape[:-1], H, D).swapaxes(-3, -2)
 
         q, k, v = heads(q), heads(k), heads(v)
+        # score dtype follows the compute dtype: in bf16 serving the
+        # (nW*B, H, 144, 144) score tensor is the backbone's dominant HBM
+        # term — writing it bf16 halves that traffic; the softmax still
+        # upcasts to f32 (max-subtract and normalization exact), so only
+        # the logits themselves round (~2^-8 relative). f32 inputs keep
+        # the f32-exact path (converter parity tests run there).
+        score_dtype = jnp.float32 if x.dtype == jnp.float32 else x.dtype
         attn = jnp.einsum(
             "...hqd,...hkd->...hqk", q * (D**-0.5), k,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=score_dtype,
         )
         table = self.param(
             "relative_position_bias_table",
@@ -62,10 +69,12 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(_rel_pos_index(self.window))
         bias = table[idx.reshape(-1)].reshape(Wsq, Wsq, H).transpose(2, 0, 1)
-        attn = attn + bias[None]
+        attn = attn + bias[None].astype(score_dtype)
         if mask is not None:
             nW = mask.shape[0]
-            attn = attn.reshape(-1, nW, H, Wsq, Wsq) + mask[None, :, None]
+            attn = attn.reshape(-1, nW, H, Wsq, Wsq) + mask[
+                None, :, None
+            ].astype(score_dtype)
             attn = attn.reshape(-1, H, Wsq, Wsq)
         attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(v.dtype)
         out = jnp.einsum("...hqk,...hkd->...hqd", attn, v)

@@ -1,33 +1,34 @@
-"""Pallas TPU deformable-attention BACKWARD, v2 ("per-group windows").
+"""Pallas TPU deformable-attention backward, v3 ("bf16 pair-packed").
 
-The v6 backward (pallas_deform_attn_v6.py::_bwd_kernel) scans the TILE
-UNION block range for every gather group: with bwd groups of 8 queries x
-4 points x 4 corners (128 tap lanes), a 128-query tile holds 16-32 groups
-whose own windows span 1-3 blocks each, while the tile union spans ~6-12 —
-so most of the per-visit work (the dominant (D, 128) lane-gather for dw,
-the one-hot dV matmul, the masked adds) produces zeros. The train-step
-phase table (tools/bench_train_phases.py) puts the whole backward at
-~582 ms of an 801 ms batch-4 bf16 step; this kernel is its hot core.
+The bwd2 kernel (pallas_deform_bwd2.py) is the per-group-window backward;
+round-5 measurement puts the whole backward at ~556 ms of a 769 ms batch-4
+bf16 train step. Inside bwd2's visit loop the costs mirror the forward's
+round-4 attribution (docs/kernel_notes.md): the (D, 128) f32 value gather
+for dw (4 VREGs through the ~7-stage lane-shift network), the f32
+select-merge carries, and two f32 MXU matmuls (the g-expansion and the
+one-hot dV scatter) that run at the MXU's slow f32 rate.
 
-bwd2 applies the forward's round-4 lessons (v11/v14; docs/kernel_notes.md):
+bwd3 applies the forward's v7/v16 packing lesson to the backward, for the
+**bf16-compute training path** (trainer compute_dtype=bf16, where the
+forward already samples bf16 values via v7 — the values are exactly
+bf16-representable, so packing loses nothing):
 
-* per-GROUP block bases, scalar-prefetched, with ONE shared max-length
-  loop per (tile, level) — visits scale with each group's own window
-  (per-group `lax.cond` bounds measured 2x SLOWER, so the shared max
-  stays; the max over 8-query groups is far smaller than the tile union);
-* the dw gather is SELECT-MERGED: each tap's value column is selected
-  exactly once across the disjoint window blocks; the g*V reduction runs
-  once post-loop instead of a masked multiply-reduce per visit;
-* the dV scatter keeps its per-visit one-hot matmul (it must write each
-  block), but now runs ~2-4x fewer visits. Clamped overshoot visits land
-  on the level's zero-pad tail block where no tap index can match
-  (S_pad >= S_l + BLK), so they add exact zeros.
+* the value plane packs channel pairs (d, d + D/2) as two bf16 halves per
+  int32 lane: the dw gather and the select-merge carries move (D/2, 128)
+  int32 — HALF of bwd2's f32 traffic; halves unpack post-loop by pure bit
+  extension (``g << 16`` / ``g & 0xffff0000`` bitcast to f32);
+* the one-hot dV matmul and the upstream-grad expansion run with bf16
+  operands and f32 accumulation (``preferred_element_type=f32``) — full
+  MXU rate; the one-hot is exact in bf16 (0/1), so the only rounding is
+  the upstream grad's bf16 cast (~2^-8 relative, the same rounding every
+  bf16 matmul in the mixed-precision step already applies);
+* everything else (per-group windows, shared max count, clamped zero-pad
+  overshoot) is bwd2 unchanged.
 
-Numerics: identical math to the v6 backward; only masked zero-adds are
-reassociated away and the dV accumulation visits blocks in a different
-order (f32 adds of the same terms — parity test tolerance 1e-5 relative).
-Selected via PAIRNET_DEFORM_BWD (default ``v2``; ``v6`` restores the old
-kernel) by every deform-attn custom VJP.
+Numerics vs bwd2 on bf16-representable values: dw/dlocs/dweights exact up
+to f32 reassociation; dvalue carries the upstream-grad bf16 rounding.
+Parity test: tests/test_deform_bwd3.py. Select via PAIRNET_DEFORM_BWD=v3;
+the f32-exact anchors (v2/v6) remain for f32 training.
 
 Ref: mmcv MultiScaleDeformableAttention backward semantics (SURVEY.md
 §2.4): out-of-plane corners pass no gradient.
@@ -36,7 +37,6 @@ Ref: mmcv MultiScaleDeformableAttention backward semantics (SURVEY.md
 from __future__ import annotations
 
 import functools
-import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -52,11 +52,12 @@ from pairnet_tpu.ops.pallas_deform_attn_v6 import (
 )
 
 
-def _bwd2_kernel(
+def _bwd3_kernel(
     bases_ref, counts_ref, x_ref, y_ref, a_ref, it_ref, v_ref, g_ref,
     dv_ref, dx_ref, dy_ref, da_ref, *, h, w, nqt, s_pad,
 ):
-    D = v_ref.shape[1]
+    Dh = v_ref.shape[1]  # D/2 packed rows
+    D = 2 * Dh
     ng = x_ref.shape[1]
     gp = x_ref.shape[2]
     qpg = TQ // ng
@@ -79,23 +80,24 @@ def _bwd2_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (qpg, BLK), 1)
     qrow = jax.lax.broadcasted_iota(jnp.int32, (qpg, BLK), 0)
-    sel = ((lane % gp) // P == qrow).astype(jnp.float32)  # (qpg, 128)
+    sel = ((lane % gp) // P == qrow).astype(jnp.bfloat16)  # (qpg, 128)
 
     tile = b * nqt + q
     count = counts_ref[tile]
     max_b0 = s_pad - BLK
 
     # expand upstream grads to tap lanes: g_tap[j][d, t] = g[q(t), d]
+    # bf16 operands, f32 accumulation (full MXU rate; sel is exact 0/1)
     g_taps = []
     gw = []
     for j in range(ng):
-        g_grp = g_ref[0, j * qpg : (j + 1) * qpg, :]  # (qpg, D)
+        g_grp = g_ref[0, j * qpg : (j + 1) * qpg, :].astype(jnp.bfloat16)
         gt = jax.lax.dot_general(
             g_grp, sel, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (D, 128)
+        )  # (D, 128) f32
         g_taps.append(gt)
-        gw.append(gt * w_all[j : j + 1])
+        gw.append((gt * w_all[j : j + 1]).astype(jnp.bfloat16))
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
 
@@ -104,21 +106,20 @@ def _bwd2_kernel(
         for j in range(ng):
             b0 = jnp.minimum(bases_ref[tile * ng + j] + k * BLK, max_b0)
             b0 = pl.multiple_of(b0, BLK)
-            vbt = v_ref[0, :, pl.ds(b0, BLK)].astype(jnp.float32)
+            vbt = v_ref[0, :, pl.ds(b0, BLK)]  # (D/2, 128) i32 packed
             rel = idx_all[j : j + 1] - b0  # (1, 128)
             inb = (rel & ~(BLK - 1)) == 0
             lo = rel & (BLK - 1)
             gth = jnp.take_along_axis(
-                vbt, jnp.broadcast_to(lo, (D, BLK)), axis=1
+                vbt, jnp.broadcast_to(lo, (Dh, BLK)), axis=1
             )
-            # select-merge: window blocks are disjoint, each tap's column
-            # is picked exactly once; dw reduces once after the loop
+            # select-merge on the packed words: window blocks are
+            # disjoint, each tap's column is picked exactly once
             out.append(jnp.where(inb, gth, gats[j]))
-            # dV[pos] += one-hot^T weighted tap grads for THIS block; the
-            # pre-transposed tap indices make the one-hot a single compare
-            # and out-of-block taps match no lane
+            # dV[pos] += one-hot^T weighted tap grads for THIS block;
+            # out-of-block taps match no lane; bf16 one-hot is exact
             relT = it_ref[0, :, j : j + 1] - b0  # (128 taps, 1)
-            oh = (relT == pos).astype(jnp.float32)  # (128 taps, 128 pos)
+            oh = (relT == pos).astype(jnp.bfloat16)  # (128 taps, 128 pos)
             dvb = jax.lax.dot_general(
                 gw[j], oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -126,17 +127,24 @@ def _bwd2_kernel(
             dv_ref[0, :, pl.ds(b0, BLK)] += dvb
         return tuple(out)
 
-    gats = tuple(jnp.zeros((D, BLK), jnp.float32) for _ in range(ng))
+    gats = tuple(jnp.zeros((Dh, BLK), jnp.int32) for _ in range(ng))
     gats = jax.lax.fori_loop(0, count, blk_body, gats)
 
-    # d w_t = sum_d g_tap[d, t] * V[i_t, d] — once, on the merged columns
-    dw_all = jnp.concatenate(
-        [
-            jnp.sum(g_taps[j] * gats[j], axis=0, keepdims=True)
-            for j in range(ng)
-        ],
-        0,
-    )  # (ng, 128)
+    # d w_t = sum_d g_tap[d, t] * V[i_t, d] — unpack the merged packed
+    # columns once (bf16 halves are f32 bit prefixes) and reduce
+    dw_rows = []
+    for j in range(ng):
+        v_lo = jax.lax.bitcast_convert_type(gats[j] << 16, jnp.float32)
+        v_hi = jax.lax.bitcast_convert_type(
+            gats[j] & jnp.int32(-65536), jnp.float32
+        )
+        dw_j = jnp.sum(
+            g_taps[j][:Dh] * v_lo + g_taps[j][Dh:] * v_hi,
+            axis=0,
+            keepdims=True,
+        )
+        dw_rows.append(dw_j)
+    dw_all = jnp.concatenate(dw_rows, 0)  # (ng, 128)
 
     # chain rule back to aw / fx / fy on coord layout (ng, gp) slices
     da = jnp.zeros((ng, gp), jnp.float32)
@@ -152,14 +160,26 @@ def _bwd2_kernel(
     dy_ref[0] = dfy
 
 
-def _deform_bwd2(values_t, xg, yg, ag, g, bases, counts, h, w):
-    """-> (dvalues_t, dx, dy, da); layouts identical to _deform_bwd_v6."""
-    BH, D, S_pad = values_t.shape
+def _pack_channel_pairs(vl):
+    """(BH, D, S) f32 -> (BH, D/2, S) i32: lane holds bf16(v[d]) in the
+    low half and bf16(v[d + D/2]) in the high half."""
+    D = vl.shape[1]
+    v16 = vl.astype(jnp.bfloat16)
+    u16 = jax.lax.bitcast_convert_type(v16, jnp.uint16).astype(jnp.int32)
+    return u16[:, : D // 2] | (u16[:, D // 2 :] << 16)
+
+
+def _deform_bwd3(values_t, xg, yg, ag, g, bases, counts, h, w):
+    """-> (dvalues_t, dx, dy, da); layouts identical to _deform_bwd2 but
+    values_t arrives packed (BH, D/2, S_pad) i32 and dvalues_t is the
+    full (BH, D, S_pad) f32."""
+    BH, Dh, S_pad = values_t.shape
+    D = 2 * Dh
     n_groups, gp = xg.shape[1], xg.shape[2]
     nqt = counts.shape[1]
     ng = n_groups // nqt
     idxT = _tap_indices_T(xg, yg, h, w, nqt)
-    kern = functools.partial(_bwd2_kernel, h=h, w=w, nqt=nqt, s_pad=S_pad)
+    kern = functools.partial(_bwd3_kernel, h=h, w=w, nqt=nqt, s_pad=S_pad)
     coord_spec = pl.BlockSpec(
         (1, ng, gp), lambda b, q, *_: (b, q, 0), memory_space=pltpu.VMEM
     )
@@ -175,7 +195,7 @@ def _deform_bwd2(values_t, xg, yg, ag, g, bases, counts, h, w):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, D, S_pad), lambda b, q, *_: (b, 0, 0),
+                (1, Dh, S_pad), lambda b, q, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -210,12 +230,11 @@ def _deform_bwd2(values_t, xg, yg, ag, g, bases, counts, h, w):
     )
 
 
-def _ms_deform_attn_bwd2_impl(value, spatial_shapes, locs, weights, g):
+def _ms_deform_attn_bwd3_impl(value, spatial_shapes, locs, weights, g):
     """Full backward: returns (dvalue, dlocs, dweights).
 
-    Prep mirrors _ms_deform_attn_v6_bwd_impl, but computes per-GROUP block
-    bases (min over the group's clamped base corners) and ONE shared count
-    per tile (max over its groups' block spans incl. the +1 corners).
+    Prep mirrors _ms_deform_attn_bwd2_impl exactly (per-group block bases,
+    shared per-tile max count) with the value plane bf16 pair-packed.
     """
     B, S, H, D = value.shape
     Q = locs.shape[1]
@@ -240,6 +259,7 @@ def _ms_deform_attn_bwd2_impl(value, spatial_shapes, locs, weights, g):
         S_pad = _round_up(S_l + BLK, BLK)
         vl = jax.lax.dynamic_slice_in_dim(value, offs[lvl], S_l, axis=1)
         vl = vl.transpose(0, 2, 3, 1).reshape(B * H, D, S_l)
+        vl = _pack_channel_pairs(vl.astype(jnp.float32))
         vl = jnp.pad(vl, ((0, 0), (0, 0), (0, S_pad - S_l)))
 
         x = locs[..., lvl, :, 0].astype(jnp.float32) * w - 0.5
@@ -267,7 +287,7 @@ def _ms_deform_attn_bwd2_impl(value, spatial_shapes, locs, weights, g):
         nblk = (hi_g.reshape(B * H, nqt, ng) - bases) // BLK + 1
         counts = jnp.max(nblk, axis=-1)  # (BH, nqt)
 
-        dvl, dxg, dyg, dag = _deform_bwd2(
+        dvl, dxg, dyg, dag = _deform_bwd3(
             vl, xb, yb, ab, g, bases, counts, h, w
         )
 
@@ -289,32 +309,3 @@ def _ms_deform_attn_bwd2_impl(value, spatial_shapes, locs, weights, g):
         dlocs.astype(locs.dtype),
         dweights.astype(weights.dtype),
     )
-
-
-def deform_attn_bwd(value, spatial_shapes, locs, weights, g):
-    """Backward dispatch for every deform-attn custom VJP.
-
-    PAIRNET_DEFORM_BWD selects the kernel: ``v2`` (default) is this
-    module's per-group-window backward, ``v6`` the tile-union parity
-    anchor, ``v3`` the bf16 pair-packed variant (pallas_deform_bwd3.py —
-    exact only for bf16-representable values, i.e. the bf16-compute
-    training path).
-    """
-    which = _os.environ.get("PAIRNET_DEFORM_BWD", "v2")
-    if which == "v6":
-        from pairnet_tpu.ops.pallas_deform_attn_v6 import (
-            _ms_deform_attn_v6_bwd_impl,
-        )
-
-        return _ms_deform_attn_v6_bwd_impl(
-            value, spatial_shapes, locs, weights, g
-        )
-    if which == "v3":
-        from pairnet_tpu.ops.pallas_deform_bwd3 import (
-            _ms_deform_attn_bwd3_impl,
-        )
-
-        return _ms_deform_attn_bwd3_impl(
-            value, spatial_shapes, locs, weights, g
-        )
-    return _ms_deform_attn_bwd2_impl(value, spatial_shapes, locs, weights, g)

@@ -69,3 +69,28 @@ def test_render_triplets():
     assert lines[0].startswith("cat --on--> dog")
     pan = render_panoptic(img, np.zeros((16, 16), np.int64))
     assert pan.shape == img.shape
+
+
+def test_swin_bf16_scores_close_to_f32():
+    """The bf16-compute path writes attention scores in bf16 (halved HBM
+    traffic); outputs must stay within bf16 rounding of the f32-exact
+    path on the same (bf16-representable) inputs."""
+    model = SwinTransformer(
+        embed_dim=16, depths=(1, 1), num_heads=(1, 2), window=4,
+        out_indices=(0, 1),
+    )
+    rng = np.random.default_rng(0)
+    x32 = jnp.asarray(rng.normal(size=(1, 24, 28, 3)), jnp.float32)
+    x32 = x32.astype(jnp.bfloat16).astype(jnp.float32)  # representable
+    params = model.init(jax.random.PRNGKey(0), x32)
+    ref = model.apply(params, x32)
+    p16 = jax.tree_util.tree_map(
+        lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
+        params,
+    )
+    got = model.apply(p16, x32.astype(jnp.bfloat16))
+    for r, g in zip(ref, got):
+        r = np.asarray(r)
+        g = np.asarray(g, np.float32)
+        scale = np.abs(r).max() + 1e-6
+        assert np.abs(g - r).max() < 0.05 * scale
