@@ -144,7 +144,11 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        # exact-erf gelu matches mmdet/torch for f32 converter parity; in
+        # bf16 serving the tanh approximation's ~1e-3 error sits below the
+        # bf16 rounding already accepted, and erf measured 2x the VPU cost
+        # of tanh at stride-4 geometry (tools/bench_swin_parts.py)
+        y = nn.gelu(y, approximate=x.dtype == jnp.bfloat16)
         y = nn.Dense(self.dim, name="mlp_fc2")(y)
         return x + y
 
